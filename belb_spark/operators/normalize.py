@@ -1,0 +1,126 @@
+"""Stage 1 — normalization (derived columns only; content never rewritten).
+
+Re-expresses belb's surface-form normalization (quote/tab stripping
+``belb/preprocessing/data.py:680-686``, unicode-space cleanup
+``belb/preprocessing/transform.py:154-163``, lowercase comparison
+``belb/scripts/stats.py:86-94``) and synonym canonicalization (keep-preferred
+dedup ``belb/kbs/kb.py:251-263`` + broadcast dictionary joins
+``belb/kbs/kb.py:538-570``) as pure DataFrame expressions.
+
+Everything is JVM-side whole-stage-codegen: tokenization is one
+``split(lower(content))``, and dictionary canonicalization is either a
+map-literal ``transform`` (small dict — zero shuffle, the common case: belb's
+dictionaries are broadcast-sized) or an explode + broadcast-join + re-agg
+(large dict).
+
+The per-row invariant column ``content_sha = sha2(content, 256)`` is computed
+here once and carried through every later stage (BASELINE.json north rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# tokens = maximal runs of [a-z0-9_] over the lowercased content; everything
+# else (quotes, tabs, unicode spaces, punctuation) acts as a separator, which
+# subsumes belb's strip/replace normalizations X1-X4 (SURVEY.md §2.9)
+_TOKEN_SPLIT = "[^a-z0-9_]+"
+
+MAP_LITERAL_MAX = 20_000  # dict rows below this use the zero-shuffle path
+
+
+def assign_uids(repos: DataFrame) -> DataFrame:
+    """Deterministic uid = row_number over the natural key (repo, path,
+    commit) — never ``monotonically_increasing_id`` (SURVEY.md §4.4).
+
+    NOTE: a global row_number is a single-partition sort at 10^12 rows; at
+    that scale pre-assign uids at ingest (e.g. zipWithIndex per Iceberg
+    partition + partition offsets). The testdata generator pre-assigns uids
+    the same way, so this is only used when ``uid`` is absent.
+    """
+    if "uid" in repos.columns:
+        return repos
+    w = Window.orderBy("repo", "path", "commit")
+    return repos.withColumn("uid", F.row_number().over(w).cast("long"))
+
+
+def canonical_token_map(synonym_dict: DataFrame) -> dict[str, str]:
+    """name -> canonical symbol (description==0 row of the identifier),
+    mirroring belb's keep-preferred dedup (belb/kbs/kb.py:251-263)."""
+    rows = synonym_dict.select("identifier", "name", "description").collect()
+    symbol = {r.identifier: r.name for r in rows if r.description == 0}
+    return {r.name: symbol[r.identifier] for r in rows if r.identifier in symbol}
+
+
+def normalize(
+    repos: DataFrame,
+    synonym_dict: DataFrame | None = None,
+) -> DataFrame:
+    """repos(uid?, repo, path, commit, lang, content) ->
+    + content_sha, norm_tokens (canonicalized), norm_text, token_set.
+    """
+    df = assign_uids(repos)
+    df = df.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    df = df.withColumn(
+        "tokens",
+        F.filter(
+            F.split(F.lower(F.col("content")), _TOKEN_SPLIT), lambda t: t != F.lit("")
+        ),
+    )
+
+    if synonym_dict is not None:
+        n_dict = synonym_dict.count()
+        if n_dict <= MAP_LITERAL_MAX:
+            cmap = canonical_token_map(synonym_dict)
+            if cmap:
+                pairs = []
+                for k, v in sorted(cmap.items()):
+                    pairs.append(F.lit(k))
+                    pairs.append(F.lit(v))
+                m = F.create_map(*pairs)
+                df = df.withColumn(
+                    "norm_tokens",
+                    F.transform("tokens", lambda t: F.coalesce(m[t], t)),
+                )
+            else:
+                df = df.withColumn("norm_tokens", F.col("tokens"))
+        else:
+            df = _canonicalize_via_join(df, synonym_dict)
+    else:
+        df = df.withColumn("norm_tokens", F.col("tokens"))
+
+    df = df.withColumn("norm_text", F.array_join("norm_tokens", " "))
+    df = df.withColumn("token_set", F.array_sort(F.array_distinct("norm_tokens")))
+    return df.drop("tokens")
+
+
+def _canonicalize_via_join(df: DataFrame, synonym_dict: DataFrame) -> DataFrame:
+    """Large-dictionary path: posexplode tokens, broadcast-join the dict
+    (belb J3 semantics, belb/kbs/kb.py:538-570), re-assemble ordered."""
+    sym = (
+        synonym_dict.filter(F.col("description") == 0)
+        .select("identifier", F.col("name").alias("symbol"))
+    )
+    lookup = (
+        synonym_dict.join(sym, "identifier")
+        .select(F.col("name").alias("tok"), "symbol")
+        .distinct()
+    )
+    exploded = df.select("uid", F.posexplode("tokens").alias("pos", "tok"))
+    mapped = (
+        exploded.join(F.broadcast(lookup), "tok", "left")
+        .withColumn("ntok", F.coalesce("symbol", "tok"))
+        .groupBy("uid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ntok"))), lambda s: s["ntok"]
+            ).alias("norm_tokens")
+        )
+    )
+    return df.join(mapped, "uid")
+
+
+def check_sha_invariant(df: DataFrame) -> int:
+    """Assert content_sha still equals sha256(content); returns #violations."""
+    return df.filter(F.sha2(F.col("content"), 256) != F.col("content_sha")).count()

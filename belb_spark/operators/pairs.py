@@ -1,0 +1,101 @@
+"""Stage 3 — candidate pairs: within-block self-join with skew control.
+
+belb never self-joins at scale (its joins are dict lookups, SURVEY.md §2.4);
+this is the operator the new engine adds. Naively a block of n rows yields
+n(n-1)/2 pairs — a hot key (vendored file duplicated 10^5×) would emit 5e9
+pairs. Two structural defenses, both shuffle-aligned and AQE-friendly:
+
+1. **Exact-duplicate collapse.** ``exact:`` blocks need no scoring at all —
+   their pairs are emitted as ready edges (score 1.0) built from a groupBy,
+   star-shaped (min-uid anchor → member), O(n) per group instead of O(n²).
+
+2. **Anchor-capped join.** For every other block, rows are ranked by uid
+   within the block; the join keeps a pair only if the smaller side is one of
+   the first ``anchor_rank`` rows OR the block is small (≤ full_join_max).
+   Connectivity to the block's anchors is preserved (that is all transitive
+   clustering needs), while a hot block of n rows emits ≤ anchor_rank·n pairs.
+   Dropped-pair counts are observable: emitted vs theoretical pair counts per
+   block land in the metrics table (no silent caps).
+
+Output is unique on (uid_a, uid_b), uid_a < uid_b (FIXTURES.md invariant 3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PairsConfig:
+    full_join_max: int = 64     # blocks up to this size: all pairs
+    anchor_rank: int = 8        # bigger blocks: first-k uids pair with all
+
+
+def exact_duplicate_edges(normalized: DataFrame) -> DataFrame:
+    """Star edges (min-uid → member) within identical-norm_text groups.
+    O(n) per group via a window min — no self-join, no O(n²) blowup."""
+    w = Window.partitionBy("exact_key")
+    df = (
+        normalized.select(
+            "uid", F.sha2(F.col("norm_text"), 256).alias("exact_key")
+        )
+        .withColumn("anchor", F.min("uid").over(w))
+        .filter(F.col("uid") != F.col("anchor"))
+    )
+    return df.select(
+        F.col("anchor").alias("uid_a"), F.col("uid").alias("uid_b")
+    ).distinct()
+
+
+def candidate_pairs(
+    blocks: DataFrame, cfg: PairsConfig = PairsConfig()
+) -> DataFrame:
+    """(uid, block_key) -> unique (uid_a, uid_b), uid_a < uid_b.
+
+    ``exact:`` keys are excluded here (handled by exact_duplicate_edges).
+    """
+    b = blocks.filter(~F.col("block_key").startswith("exact:"))
+    w = Window.partitionBy("block_key").orderBy("uid")
+    ranked = (
+        b.withColumn("rn", F.row_number().over(w))
+        .withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("block_key")))
+    )
+    left = ranked.select(
+        F.col("block_key"),
+        F.col("uid").alias("uid_a"),
+        F.col("rn").alias("rn_a"),
+        F.col("bn"),
+    )
+    right = ranked.select(F.col("block_key"), F.col("uid").alias("uid_b"))
+    pairs = (
+        left.join(right, "block_key")
+        .filter(F.col("uid_a") < F.col("uid_b"))
+        .filter(
+            (F.col("bn") <= F.lit(cfg.full_join_max))
+            | (F.col("rn_a") <= F.lit(cfg.anchor_rank))
+        )
+        .select("uid_a", "uid_b")
+        .distinct()
+    )
+    return pairs
+
+
+def pair_stats(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:
+    """Per-block emitted vs theoretical pair counts (logged, not silent)."""
+    sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    theoretical = (n * (n - 1) / 2).cast("long")
+    emitted = F.when(
+        n <= cfg.full_join_max, theoretical
+    ).otherwise(
+        (F.lit(cfg.anchor_rank) * (n - 1) - F.lit(cfg.anchor_rank * (cfg.anchor_rank - 1) // 2)).cast("long")
+    )
+    return sizes.select(
+        "block_key",
+        n.alias("block_size"),
+        theoretical.alias("pairs_theoretical"),
+        emitted.alias("pairs_emitted"),
+    )

@@ -1,0 +1,139 @@
+"""End-to-end ER pipeline: normalize → block → pairs → score → cluster → eval.
+
+The skeleton from SURVEY.md §7.2 step 2 — each stage is a pure
+DataFrame→DataFrame function checkpointed through CheckpointStore, with the
+sha256(content) invariant asserted after every stage that still carries
+content (BASELINE.json north rule) and rows-processed / pairs-scored metrics
+recorded per stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from belb_spark.checkpoint import CheckpointStore, config_signature
+from belb_spark.operators.blocking import BlockingConfig, block_keys
+from belb_spark.operators.clustering import connected_components
+from belb_spark.operators.evaluate import metrics_dict, pairwise_metrics
+from belb_spark.operators.normalize import check_sha_invariant, normalize
+from belb_spark.operators.pairs import (
+    PairsConfig,
+    candidate_pairs,
+    exact_duplicate_edges,
+    pair_stats,
+)
+from belb_spark.operators.scoring import ScoringConfig, edges_from_scores, score_pairs
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    pairs: PairsConfig = field(default_factory=PairsConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    cc_max_iter: int = 30
+
+
+@dataclass
+class ERResult:
+    assignment: DataFrame           # (uid, cluster)
+    metrics: dict[str, Any]         # per-stage rows/pairs + eval f1 if labeled
+    stages: list[dict[str, Any]]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    synonym_dict: DataFrame | None = None,
+    labeled_pairs: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    cfg: ERConfig = ERConfig(),
+) -> ERResult:
+    sig = config_signature(dataclasses.asdict(cfg))
+    metrics: dict[str, Any] = {}
+
+    if checkpoint_dir is None:
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="belb_spark_ckpt_")
+    store = CheckpointStore(spark, checkpoint_dir)
+
+    # 1. normalize (content untouched; sha carried)
+    norm_res = store.run(
+        "01_normalize", sig, lambda: normalize(repos, synonym_dict)
+    )
+    norm = norm_res.df
+    violations = check_sha_invariant(norm)
+    assert violations == 0, f"sha256 invariant broken in normalize: {violations}"
+    metrics["rows_in"] = norm_res.rows
+
+    # 2. blocking keys
+    blocks_res = store.run(
+        "02_blocks", sig, lambda: block_keys(norm, cfg.blocking)
+    )
+    blocks = blocks_res.df
+    metrics["block_rows"] = blocks_res.rows
+
+    # 3. candidate pairs (+ exact-dup edges, logged drop stats)
+    stats = pair_stats(blocks, cfg.pairs).agg(
+        F.sum("pairs_theoretical").alias("theoretical"),
+        F.sum("pairs_emitted").alias("emitted"),
+        F.max("block_size").alias("max_block"),
+    ).collect()[0]
+    metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)
+    metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
+    metrics["max_block_size"] = int(stats["max_block"] or 0)
+
+    pairs_res = store.run(
+        "03_pairs", sig, lambda: candidate_pairs(blocks, cfg.pairs)
+    )
+    pairs = pairs_res.df
+    metrics["candidate_pairs"] = pairs_res.rows
+
+    exact_res = store.run(
+        "03b_exact_edges", sig, lambda: exact_duplicate_edges(norm)
+    )
+    metrics["exact_dup_edges"] = exact_res.rows
+
+    # 4. scoring (pairs not already exact-dup edges)
+    def build_scores() -> DataFrame:
+        todo = pairs.join(exact_res.df, ["uid_a", "uid_b"], "left_anti")
+        return score_pairs(todo, norm, cfg.scoring)
+
+    scores_res = store.run("04_scores", sig, build_scores)
+    metrics["pairs_scored"] = scores_res.rows
+    metrics["scoring_wall_sec"] = scores_res.wall_sec
+
+    # 5. edges + connected components to fixpoint
+    def build_assignment() -> DataFrame:
+        edges = edges_from_scores(scores_res.df, cfg.scoring.threshold).unionByName(
+            exact_res.df
+        )
+        return connected_components(edges, nodes=norm.select("uid"), max_iter=cfg.cc_max_iter)
+
+    assign_res = store.run("05_clusters", sig, build_assignment)
+    assignment = assign_res.df
+    metrics["rows_clustered"] = assign_res.rows
+    assert assign_res.rows == norm_res.rows, "row conservation broken (FIXTURES §7.2)"
+
+    # final sha invariant: join assignment back to input and re-hash
+    final = norm.select("uid", "content", "content_sha").join(assignment, "uid")
+    violations = check_sha_invariant(final)
+    assert violations == 0, f"sha256 invariant broken end-to-end: {violations}"
+
+    # 6. evaluation
+    if labeled_pairs is not None:
+        ev = pairwise_metrics(assignment, labeled_pairs)
+        metrics["eval"] = metrics_dict(ev)
+
+    stage_log = store.metrics_table()
+    (pathlib.Path(checkpoint_dir) / "metrics.json").write_text(
+        json.dumps({"stages": stage_log, "metrics": metrics}, indent=2, default=str)
+    )
+    return ERResult(assignment=assignment, metrics=metrics, stages=stage_log)

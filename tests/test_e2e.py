@@ -1,0 +1,115 @@
+"""End-to-end gate: pairwise F1 ≥ 0.99 on the test split (BASELINE.json),
+row conservation, sha invariant, deterministic re-run, resume semantics."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from belb_spark.pipeline import ERConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir():
+    d = tempfile.mkdtemp(prefix="belb_e2e_ckpt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def result(spark, tiny_spark, ckpt_dir):
+    return run_pipeline(
+        spark,
+        tiny_spark["repos"],
+        tiny_spark["synonym_dict"],
+        tiny_spark["labeled_pairs"],
+        checkpoint_dir=ckpt_dir,
+    )
+
+
+@pytest.fixture(scope="module")
+def result_rows(result):
+    """Materialized assignment — stays valid after checkpoint invalidation."""
+    return sorted((r["uid"], r["cluster"]) for r in result.assignment.collect())
+
+
+def test_f1_target(result):
+    ev = result.metrics["eval"]
+    assert ev["test"]["f1"] >= 0.99, ev
+    assert ev["dev"]["f1"] >= 0.99, ev
+    assert ev["all"]["f1"] >= 0.99, ev
+
+
+def test_row_conservation(result, tiny_spark):
+    n_in = tiny_spark["repos"].count()
+    assert result.assignment.count() == n_in
+    assert result.assignment.select("uid").distinct().count() == n_in
+
+
+def test_cluster_id_is_min_uid(result):
+    bad = (
+        result.assignment.groupBy("cluster")
+        .agg(F.min("uid").alias("mn"))
+        .filter(F.col("cluster") != F.col("mn"))
+    )
+    assert bad.count() == 0
+
+
+def test_matches_gold_exactly(result, tiny_spark):
+    """Beyond pairwise F1: the full partition equals the gold partition."""
+    pred = result.assignment
+    gold = tiny_spark["gold"]
+    joined = pred.join(gold, "uid")
+    # same-partition check: predicted cluster ids map 1:1 to gold cluster ids
+    pairs = joined.select("cluster", "gold_cluster").distinct()
+    assert pairs.count() == pairs.select("cluster").distinct().count()
+    assert pairs.count() == pairs.select("gold_cluster").distinct().count()
+
+
+def test_resume_skips_committed_stages(spark, tiny_spark, ckpt_dir, result):
+    res2 = run_pipeline(
+        spark,
+        tiny_spark["repos"],
+        tiny_spark["synonym_dict"],
+        labeled_pairs=None,
+        checkpoint_dir=ckpt_dir,
+    )
+    assert all(s["resumed"] for s in res2.stages), res2.stages
+    diff = res2.assignment.exceptAll(result.assignment).count()
+    assert diff == 0
+
+
+def test_partial_resume_after_invalidation(spark, tiny_spark, ckpt_dir, result_rows):
+    """Kill-after-stage-N simulation: only the invalidated stage rebuilds;
+    earlier committed stages are read back; output is identical."""
+    from belb_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, ckpt_dir)
+    store.invalidate("05_clusters")
+    res = run_pipeline(
+        spark,
+        tiny_spark["repos"],
+        tiny_spark["synonym_dict"],
+        labeled_pairs=None,
+        checkpoint_dir=ckpt_dir,
+    )
+    by_stage = {s["stage"]: s["resumed"] for s in res.stages}
+    assert by_stage["05_clusters"] is False
+    assert by_stage["01_normalize"] is True
+    assert by_stage["04_scores"] is True
+    got = sorted((r["uid"], r["cluster"]) for r in res.assignment.collect())
+    assert got == result_rows
+
+
+def test_resume_rebuilds_on_config_change(spark, tiny_spark, ckpt_dir):
+    cfg = ERConfig(cc_max_iter=29)  # different signature
+    res3 = run_pipeline(
+        spark,
+        tiny_spark["repos"],
+        tiny_spark["synonym_dict"],
+        labeled_pairs=None,
+        checkpoint_dir=ckpt_dir,
+        cfg=cfg,
+    )
+    assert not any(s["resumed"] for s in res3.stages)

@@ -1,0 +1,67 @@
+import hashlib
+
+from pyspark.sql import functions as F
+
+from belb_spark.operators.normalize import (
+    assign_uids,
+    check_sha_invariant,
+    normalize,
+)
+
+
+def test_normalize_derives_without_rewriting(spark, tiny_spark):
+    norm = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
+    assert check_sha_invariant(norm) == 0
+    row = norm.orderBy("uid").first()
+    # sha matches an independent python computation
+    assert row["content_sha"] == hashlib.sha256(row["content"].encode()).hexdigest()
+    # tokens are lowercase [a-z0-9_]
+    assert all(t == t.lower() for t in row["norm_tokens"])
+    assert row["norm_text"] == " ".join(row["norm_tokens"])
+    assert row["token_set"] == sorted(set(row["norm_tokens"]))
+
+
+def test_synonyms_canonicalized(spark, tiny_spark):
+    """Rows differing only by synonym/abbreviation renames normalize to the
+    same token multiset (the pipeline's stand-in for belb synonym joins)."""
+    norm = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
+    syn = {r["name"] for r in tiny_spark["synonym_dict"].collect() if r["description"] != 0}
+    # no non-canonical dictionary surface form survives normalization
+    bad = norm.select(F.explode("norm_tokens").alias("t")).filter(
+        F.col("t").isin(list(syn))
+    )
+    assert bad.count() == 0
+
+
+def test_assign_uids_deterministic_row_number(spark):
+    df = spark.createDataFrame(
+        [("r2", "p", "c", "go", "x"), ("r1", "p", "c", "go", "y")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = {r["repo"]: r["uid"] for r in assign_uids(df).collect()}
+    assert out == {"r1": 1, "r2": 2}
+
+
+def test_normalize_without_dict(spark, tiny_spark):
+    norm = normalize(tiny_spark["repos"], None)
+    assert norm.filter(F.col("norm_tokens").isNull()).count() == 0
+
+
+def test_large_dict_join_path(spark, tiny_spark):
+    """Force the explode+broadcast-join path and check it agrees with the
+    map-literal path."""
+    import belb_spark.operators.normalize as N
+
+    a = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
+    old = N.MAP_LITERAL_MAX
+    N.MAP_LITERAL_MAX = 0
+    try:
+        b = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
+    finally:
+        N.MAP_LITERAL_MAX = old
+    diff = (
+        a.select("uid", "norm_text")
+        .exceptAll(b.select("uid", "norm_text"))
+        .count()
+    )
+    assert diff == 0
