@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 +
+training-data-pipeline ops) over the driver's testdata tables;
+``oracle_sql()`` carries the DuckDB twin of each query. Both sides are
+written for *bit-identical* results:
+
+- integer outputs are BIGINT on both sides;
+- monetary aggregates are summed as DECIMAL (exact, order-independent) and
+  cast to double only at the output boundary;
+- ratios divide two integers (exact same double both sides);
+- hashes are md5 hex strings (lexicographic min == numeric min), so MinHash/
+  SimHash/fingerprints are engine-portable with no integer casts.
+
+Ops that are genuinely iterative (connected components to fixpoint) use a
+recursive-CTE oracle; the streaming job has no SQL twin (rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +21,585 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from belb_spark.operators import relational as R
+from belb_spark.operators.clustering import connected_components
+from belb_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    synset_clusters,
+)
+from belb_spark.operators.similarity import cosine_topk, srp_lsh_buckets, srp_weights
+from belb_spark.operators.text import (
+    doc_fingerprint,
+    lang_id_heuristic,
+    text_quality,
+    token_counts,
+)
+
+# ----------------------------------------------------------------- helpers
+
+MINHASH_PERMS = 8
+MINHASH_BAND = 2
+NGRAM_W = 5
+HIGH = "('8','9','a','b','c','d','e','f')"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------- spark queries
+
+
+def q_exact_dedup(spark, sf_dir):
+    out = exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("rep_id").cast("long"),
+        F.col("group_size").cast("long"),
+    )
+
+
+def q_synset_clusters(spark, sf_dir):
+    out = synset_clusters(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(F.col("id").cast("long").alias("doc_id"), F.col("cluster").cast("long"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", MINHASH_PERMS, MINHASH_BAND, 3, 0.2
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", NGRAM_W, 0.3)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    out = simhash16(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(F.col("id").cast("long").alias("doc_id"), F.col("simhash").cast("long"))
+
+
+def q_cc_clusters(spark, sf_dir):
+    """Near-dup clusters: CC over ngram-jaccard edges (iterative large-star/
+    small-star — the pipeline's clustering operator on real testdata)."""
+    docs = _docs(spark, sf_dir)
+    edges = ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_W, 0.3).select(
+        F.col("id_a").alias("uid_a"), F.col("id_b").alias("uid_b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("uid"))
+    out = connected_components(edges, nodes)
+    return out.select(
+        F.col("uid").cast("long").alias("doc_id"), F.col("cluster").cast("long")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(
+        emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10), k=5
+    ).select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("rank").cast("long"),
+        "cosine",
+    )
+
+
+def q_srp_buckets(spark, sf_dir):
+    out = srp_lsh_buckets(_emb(spark, sf_dir), n_planes=8, dim=64)
+    return out.select(F.col("vec_id").cast("long"), F.col("bucket").cast("long"))
+
+
+def q_text_quality(spark, sf_dir):
+    out = text_quality(_docs(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        "avg_token_len",
+        "stopword_ratio",
+        "short_ratio",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id_heuristic(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").cast("long"), "pred_lang", "matches"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("est_bpe").cast("long"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", 4).select(
+        F.col("doc_id").cast("long"), "fingerprint"
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    return R.tpch_q1(spark, sf_dir).select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.col("count_order").cast("long"),
+        "avg_qty",
+    )
+
+
+def q_star_join(spark, sf_dir):
+    return R.star_join_revenue(spark, sf_dir).select(
+        "r_name", F.col("n_orders").cast("long"), "revenue"
+    )
+
+
+def q_window_running(spark, sf_dir):
+    return R.window_running_total(spark, sf_dir).select(
+        F.col("o_orderkey").cast("long"), F.col("o_custkey").cast("long"), "running_total"
+    )
+
+
+def q_window_keepfirst(spark, sf_dir):
+    return R.window_keep_first(spark, sf_dir).select(
+        F.col("l_orderkey").cast("long"), F.col("first_partkey").cast("long"), "first_qty"
+    )
+
+
+def q_semi_anti(spark, sf_dir):
+    return R.semi_anti_membership(spark, sf_dir).select(
+        F.col("c_custkey").cast("long"), "has_orders"
+    )
+
+
+def q_history_fixpoint(spark, sf_dir):
+    return R.history_fixpoint(spark, sf_dir).select(
+        F.col("c_custkey").cast("long"),
+        F.col("root").cast("long"),
+        F.col("depth").cast("long"),
+    )
+
+
+def q_explode_tokens(spark, sf_dir):
+    return R.explode_token_counts(spark, sf_dir).select(
+        "token", F.col("cnt").cast("long")
+    )
+
+
+def q_synset_agg(spark, sf_dir):
+    return R.synset_agg(spark, sf_dir).select(
+        "source", "langs", F.col("n_docs").cast("long")
+    )
+
+
+def q_name_homonyms(spark, sf_dir):
+    return R.name_homonyms(spark, sf_dir).select(
+        "token", F.col("n_langs").cast("long"), F.col("total").cast("long")
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    return R.json_props_extract(spark, sf_dir).select(
+        F.col("event_id").cast("long"), F.col("k_val").cast("long")
+    )
+
+
+def q_events_window(spark, sf_dir):
+    return R.events_hourly_window(spark, sf_dir).select(
+        "window_start", "event_type", F.col("cnt").cast("long"), "sum_value"
+    )
+
+
+def q_event_except(spark, sf_dir):
+    return R.event_type_except(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dedup_exact": q_exact_dedup,
+        "dedup_synset_clusters": q_synset_clusters,
+        "dedup_minhash_lsh_pairs": q_minhash_pairs,
+        "dedup_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_simhash": q_simhash,
+        "er_cc_clusters": q_cc_clusters,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_srp_buckets": q_srp_buckets,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_lang_id,
+        "text_token_counts": q_token_counts,
+        "text_fingerprint": q_fingerprint,
+        "tpch_q1_agg": q_tpch_q1,
+        "join_star_revenue": q_star_join,
+        "window_running_total": q_window_running,
+        "window_keep_first": q_window_keepfirst,
+        "semi_anti_membership": q_semi_anti,
+        "history_fixpoint": q_history_fixpoint,
+        "explode_token_counts": q_explode_tokens,
+        "groupby_synset": q_synset_agg,
+        "name_homonyms": q_name_homonyms,
+        "json_props_extract": q_json_extract,
+        "events_hourly_window": q_events_window,
+        "event_type_except": q_event_except,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracle SQL
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _sh_cte(width: int) -> str:
+    """CTE fragment: per-doc distinct token shingles of given width."""
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(width))
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {parts} AS s
+  FROM toks, (SELECT unnest(range(1, 2000)) AS i) ix
+  WHERE i <= len(t) - {width - 1}
+)"""
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n    ".join(
+        f"min(md5('{p}:' || s)) AS sig{p}" for p in range(MINHASH_PERMS)
+    )
+    band_exprs = []
+    for b in range(MINHASH_PERMS // MINHASH_BAND):
+        parts = " || '_' || ".join(
+            f"sig{b * MINHASH_BAND + r}" for r in range(MINHASH_BAND)
+        )
+        band_exprs.append(f"SELECT doc_id, '{b}' || '_' || {parts} AS band_key FROM sigs")
+    bands = "\nUNION ALL\n".join(band_exprs)
+    return f"""
+WITH {_sh_cte(3)},
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+shl AS (SELECT doc_id, list(DISTINCT s) AS sl FROM sh GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.sl, y.sl))::DOUBLE /
+         (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))) AS jc
+  FROM cand JOIN shl x ON cand.id_a = x.doc_id JOIN shl y ON cand.id_b = y.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jc, 4) AS jaccard
+FROM j WHERE jc >= 0.2
+"""
+
+
+def _ngram_sql() -> str:
+    return f"""
+WITH {_sh_cte(NGRAM_W)},
+shl AS (SELECT doc_id, list(DISTINCT s) AS sl FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(x.sl, y.sl))::DOUBLE /
+         (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))) AS jc
+  FROM cand JOIN shl x ON cand.id_a = x.doc_id JOIN shl y ON cand.id_b = y.doc_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, round(jc, 4) AS jaccard
+FROM j WHERE jc >= 0.3
+"""
+
+
+def _cc_sql() -> str:
+    """Connected components oracle: recursive min-label reachability over the
+    ngram-jaccard edge set (same edges as er_cc_clusters)."""
+    return f"""
+WITH RECURSIVE {_sh_cte(NGRAM_W)},
+shl AS (SELECT doc_id, list(DISTINCT s) AS sl FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           len(list_intersect(x.sl, y.sl))::DOUBLE /
+           (len(x.sl) + len(y.sl) - len(list_intersect(x.sl, y.sl))) AS jc
+    FROM cand JOIN shl x ON cand.id_a = x.doc_id JOIN shl y ON cand.id_b = y.doc_id
+  ) WHERE jc >= 0.3
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION SELECT id_b, id_a FROM edges
+),
+reach(u, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.u
+)
+SELECT u::BIGINT AS doc_id, min(lbl)::BIGINT AS cluster FROM reach GROUP BY u
+"""
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN {HIGH} THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+hs AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (SELECT doc_id, {sums} FROM hs GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, ({bits})::BIGINT AS simhash FROM sums
+"""
+
+
+def _srp_sql() -> str:
+    ws = srp_weights(8, 64)
+    terms = []
+    for p, w in enumerate(ws):
+        arr = "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    expr = " + ".join(terms)
+    return f"SELECT vec_id::BIGINT AS vec_id, ({expr})::BIGINT AS bucket FROM embeddings"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["dedup_exact"] = """
+WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       min(doc_id) OVER (PARTITION BY hh)::BIGINT AS rep_id,
+       count(*) OVER (PARTITION BY hh)::BIGINT AS group_size
+FROM h
+"""
+
+    sql["dedup_synset_clusters"] = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), '')) AS sk
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       min(doc_id) OVER (PARTITION BY sk)::BIGINT AS cluster
+FROM k
+"""
+
+    sql["dedup_minhash_lsh_pairs"] = _minhash_sql()
+    sql["dedup_ngram_jaccard_pairs"] = _ngram_sql()
+    sql["dedup_simhash"] = _simhash_sql()
+    sql["er_cc_clusters"] = _cc_sql()
+
+    sql["ann_cosine_topk"] = """
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 3) AS cosine
+  FROM c, q WHERE vec_id <> query_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, cosine
+FROM r WHERE rank <= 5
+"""
+
+    sql["ann_srp_buckets"] = _srp_sql()
+
+    sql["text_quality"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents)
+SELECT doc_id::BIGINT AS doc_id,
+       len(tk)::BIGINT AS n_tokens,
+       round(list_sum(list_transform(tk, x -> len(x)))::DOUBLE / len(tk), 4) AS avg_token_len,
+       round(len(list_filter(tk, x -> x IN ('the','a')))::DOUBLE / len(tk), 4) AS stopword_ratio,
+       round(len(list_filter(tk, x -> len(x) <= 3))::DOUBLE / len(tk), 4) AS short_ratio
+FROM t
+"""
+
+    sql["text_lang_id"] = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_filter(tk, x -> x IN ('the','a')))::DOUBLE / len(tk) >= 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM t
+)
+SELECT doc_id::BIGINT AS doc_id, pred_lang, (pred_lang = lang) AS matches FROM p
+"""
+
+    sql["text_token_counts"] = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len({_TOKS})::BIGINT AS n_tokens,
+       ceil(len(text) / 4.0)::BIGINT AS est_bpe
+FROM documents
+"""
+
+    sql["text_fingerprint"] = f"""
+WITH toks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+  FROM toks, (SELECT unnest(range(1, 2000)) AS i) ix
+  WHERE i <= len(t) - 3
+)
+SELECT doc_id::BIGINT AS doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
+"""
+
+    sql["tpch_q1_agg"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  count(*)::BIGINT AS count_order,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["join_star_revenue"] = """
+SELECT r_name, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    sql["window_running_total"] = """
+SELECT o_orderkey::BIGINT AS o_orderkey, o_custkey::BIGINT AS o_custkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+"""
+
+    sql["window_keep_first"] = """
+WITH r AS (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_quantity) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey::BIGINT AS l_orderkey, l_partkey::BIGINT AS first_partkey,
+       CAST(l_quantity AS DOUBLE) AS first_qty
+FROM r WHERE rn = 1
+"""
+
+    sql["semi_anti_membership"] = """
+SELECT c_custkey::BIGINT AS c_custkey,
+       (o_custkey IS NOT NULL) AS has_orders
+FROM customer LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+  ON c_custkey = o_custkey
+"""
+
+    sql["history_fixpoint"] = """
+WITH RECURSIVE walk(k, cur, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT k, cur // 7, depth + 1 FROM walk WHERE cur // 7 >= 1
+),
+final AS (
+  SELECT k, cur, depth,
+         row_number() OVER (PARTITION BY k ORDER BY depth DESC) AS rn
+  FROM walk
+)
+SELECT k::BIGINT AS c_custkey, cur::BIGINT AS root, depth::BIGINT AS depth
+FROM final WHERE rn = 1
+"""
+
+    sql["explode_token_counts"] = f"""
+SELECT t.token, count(*)::BIGINT AS cnt
+FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+GROUP BY t.token
+"""
+
+    sql["groupby_synset"] = """
+SELECT source,
+       array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY source
+"""
+
+    sql["name_homonyms"] = f"""
+WITH t AS (SELECT lang, unnest({_TOKS}) AS token FROM documents)
+SELECT token, count(DISTINCT lang)::BIGINT AS n_langs, count(*)::BIGINT AS total
+FROM t GROUP BY token HAVING count(DISTINCT lang) > 1
+"""
+
+    sql["json_props_extract"] = """
+SELECT event_id::BIGINT AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+    sql["events_hourly_window"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["event_type_except"] = """
+SELECT event_type, floor(value)::BIGINT AS value_bucket
+FROM events WHERE ts < TIMESTAMP '2024-01-03'
+EXCEPT
+SELECT event_type, floor(value)::BIGINT
+FROM events WHERE ts >= TIMESTAMP '2024-01-03'
+"""
+
+    return sql
+
+
+# ---------------------------------------------------------------- entry
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship on sf0.001: near-duplicate document clusters — MinHash-LSH
+    blocking → Jaccard scoring → large-star/small-star clustering, the same
+    skeleton as the full ER pipeline (belb_spark.pipeline)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _docs(spark, sf_dir)
+    edges = minhash_lsh_pairs(docs, "doc_id", "text", 8, 2, 3, 0.2).select(
+        F.col("id_a").alias("uid_a"), F.col("id_b").alias("uid_b")
+    )
+    assign = connected_components(edges, docs.select(F.col("doc_id").alias("uid")))
+    return (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("size"), F.min("uid").alias("rep"))
+        .orderBy(F.col("size").desc(), F.col("cluster"))
+    )

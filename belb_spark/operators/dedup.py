@@ -1,0 +1,170 @@
+"""Deduplication operators over a generic (id, text) table.
+
+Training-data-pipeline dedup family, each expressed Spark-first:
+
+- exact dedup — hash-groupBy (belb A7 ``dropDuplicates`` analogue,
+  belb/preprocessing/data.py:472-491)
+- MinHash-LSH near-dup — shingle → minhash → band → bucket-join. Two hash
+  backends: ``xxhash64`` (fast JVM path used by the ER pipeline's blocking,
+  blocking.py) and ``md5`` (portable path whose signature is reproducible in
+  any engine — used for oracle checks; min over fixed-width lowercase hex ==
+  numeric min, so no integer casts are needed anywhere)
+- SimHash — bitwise majority over token hashes, built from md5 nibbles so it
+  is engine-portable too
+- n-gram Jaccard — shingle-set similarity over candidate pairs
+
+All operators are pure DataFrame expressions (no UDFs): shingling uses
+``sequence`` + higher-order ``transform``; signatures are ``array_min`` over
+``transform``; only ``explode`` materializes rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from belb_spark.operators.blocking import shingles_col
+
+HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]  # hex digits with bit3 set
+
+
+def tokens_col(text: str | Column, sep: str = " ") -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(t, sep), lambda x: x != F.lit(""))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, text) -> (id, rep_id, group_size): rep = min id of the identical-
+    text group (md5 bucket). Window-based — no self-join."""
+    w = Window.partitionBy("h")
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+        .withColumn("rep_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(F.col(id_col), "rep_id", "group_size")
+    )
+
+
+def md5_minhash_sig(shingles: Column, perms: int) -> list[Column]:
+    """Engine-portable MinHash: sig[p] = min(md5(p || ':' || shingle)).
+    Fixed-width hex strings compare like numbers."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+        ).alias(f"sig{p}")
+        for p in range(perms)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    perms: int = 8,
+    band_size: int = 2,
+    shingle_width: int = 3,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs: docs sharing any LSH band, verified with true
+    shingle-set Jaccard ≥ min_jaccard. Output (id_a, id_b, jaccard)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
+    )
+    sigs = base.select("id", "sh", *md5_minhash_sig(F.col("sh"), perms))
+    bands = []
+    for b in range(perms // band_size):
+        parts = [F.col(f"sig{b * band_size + r}") for r in range(band_size)]
+        bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
+    exploded = sigs.select(
+        "id", "sh", F.explode(F.array(*bands)).alias("band_key")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
+    )
+    b_ = exploded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_key")
+    pairs = (
+        a.join(b_, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over the distinct-token set: bit b of the hash is the
+    sign of Σ_tokens (±1 by bit 3 of md5-nibble b). Output (id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5("tok"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1).isin(HIGH_NIBBLE), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    hash_expr = None
+    for b in range(16):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        hash_expr = bit if hash_expr is None else hash_expr + bit
+    return sums.select("id", hash_expr.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_width: int = 5,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Pairs sharing ≥1 width-n token shingle with shingle-Jaccard ≥ cut.
+    The shared-shingle prejoin is the blocking step (no full cross join)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
+    )
+    ex = base.select("id", "sh", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """belb's identical-synset merge (belb/kbs/query.py:97-194): rows whose
+    *distinct token set* is identical share a cluster; cluster id = min id
+    (first identifier becomes canonical). Output (id, cluster)."""
+    w = Window.partitionBy("synset_key")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.array_distinct(tokens_col(text_col))))
+            ).alias("synset_key"),
+        )
+        .withColumn("cluster", F.min("id").over(w))
+        .select("id", "cluster")
+    )

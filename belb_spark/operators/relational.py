@@ -1,0 +1,210 @@
+"""Relational operator coverage (SURVEY.md §2) over the driver's testdata.
+
+Each function maps to inventory rows from SURVEY.md §2 (noted per function).
+Numeric discipline: monetary aggregates are summed as DECIMAL (exact,
+order-independent — safe under any partitioning) and cast to double only at
+the output boundary, so results are bit-identical across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A10-style grouped aggregation with filter pushdown (TPC-H Q1)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 4))
+    )
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family: orders ⋈ customer ⋈ nation ⋈ region with broadcast dims
+    (SURVEY.md §2.4 — dictionary joins become broadcast-hash)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )
+
+
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative sum per customer over order date (belb's running
+    passage-offset analogue, belb/preprocessing/data.py:408-424)."""
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+def window_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/W4: keep-preferred dedup via ranking window
+    (belb/kbs/kb.py:251-263)."""
+    li = load(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the testdata — the order-by
+    # must be total w.r.t. the output columns for determinism across engines
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_partkey").alias("first_partkey"),
+            F.col("l_quantity").cast("double").alias("first_qty"),
+        )
+    )
+
+
+def semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/U2: in-KB membership semi/anti-join (belb/kbs/query.py:293-309,
+    belb/kbs/kb.py:428-453): customers with / without orders."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left"
+    ).select(
+        "c_custkey", F.col("o_custkey").isNotNull().alias("has_orders")
+    )
+
+
+def history_fixpoint(spark: SparkSession, sf_dir: str, div: int = 7) -> DataFrame:
+    """J2 to fixpoint: identifier-history chain resolution. belb resolves ONE
+    hop (belb/kbs/kb.py:455-486) + manual patches; here chains are followed
+    to their root by iterated self-joins (log-depth doubling).
+
+    Synthetic history edge: k → k // div (a forest rooted at 1..div-1).
+    Output (c_custkey, root, depth)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cur = cust.select(
+        F.col("c_custkey"),
+        F.col("c_custkey").alias("root"),
+        F.lit(0).alias("depth"),
+    )
+    # follow parent(k) = k/div until parent would be 0; ≤ log_div(max) rounds
+    for _ in range(12):
+        nxt_root = F.when(
+            (F.col("root") / div).cast("long") >= 1, (F.col("root") / div).cast("long")
+        ).otherwise(F.col("root"))
+        stepped = cur.select(
+            "c_custkey",
+            nxt_root.alias("root"),
+            F.when((F.col("root") / div).cast("long") >= 1, F.col("depth") + 1)
+            .otherwise(F.col("depth"))
+            .alias("depth"),
+        )
+        cur = stepped
+    return cur
+
+
+def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1/E5: explode(split) + count (synonym pipe-split analogue,
+    belb/kbs/ncbi_gene/ncbi_gene.py:91-119)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def synset_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 SYNSET: group → ordered collect (belb/kbs/query.py:321-356);
+    here: per source, the sorted distinct langs."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def name_homonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 NAME_HOMONYMS: names used by >1 identifier
+    (belb/kbs/query.py:234-291); here: tokens appearing in >1 lang."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .filter(F.col("n_langs") > 1)
+    )
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-family: JSON field extraction (dbSNP deep-JSON analogue,
+    belb/kbs/dbsnp/dbsnp.py:57-147)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (batch twin of the
+    streaming/incremental.py job)."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+
+
+def event_type_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 set difference: event types seen before the cutoff but never after
+    (notinkb = ids − inkb analogue, belb/kbs/kb.py:451)."""
+    events = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-03").cast("timestamp")
+    key = F.floor("value").cast("long").alias("value_bucket")
+    first = events.filter(F.col("ts") < cutoff).select("event_type", key).distinct()
+    second = events.filter(F.col("ts") >= cutoff).select("event_type", key).distinct()
+    return first.exceptAll(second)

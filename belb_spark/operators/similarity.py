@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Vectors are cast to
+  double and the dot product is a ``zip_with`` + ``aggregate`` fold — pure
+  JVM codegen, no Python. The small query side is broadcast; the corpus side
+  streams, so the plan is a broadcast nested-loop that scales linearly in
+  corpus size and never shuffles the corpus.
+- SRP-LSH buckets (sign-random-projection): the scale path. Each vector gets
+  a b-bit bucket from the signs of b fixed integer-weight hyperplanes
+  (deterministic, engine-portable); ANN then only compares within buckets.
+  At 100 TB the bucket column becomes the partition key and candidate
+  generation is a bucket-equi-join instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Brute-force top-k by cosine. Output (query_id, vec_id, rank, cosine).
+
+    Rank orders by (cosine rounded to ``round_digits``, then id) — fully
+    deterministic under floating-point jitter across engines/partitionings.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("nv", _norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("nq", _norm(F.col("qv")))
+
+    joined = corpus.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
+    scored = joined.withColumn("cosine", F.round(cos, round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+def srp_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic integer hyperplane weights in [-6, 6] — reproducible in
+    any engine from the same formula (no RNG state)."""
+    return [
+        [float(((i * (p + 3) + 5 * p + 7) % 13) - 6) for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def srp_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): b-bit sign pattern of fixed hyperplane projections."""
+    v = F.col(vec_col).cast("array<double>")
+    weights = srp_weights(n_planes, dim)
+    bucket = None
+    for p, w in enumerate(weights):
+        wcol = F.array(*[F.lit(x) for x in w])
+        bit = F.when(_dot(v, wcol) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+    )
+
+
+def srp_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket, then exact
+    cosine re-rank within the bucket (bucket-equi-join, no cross join)."""
+    b_corpus = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    corpus = embeddings.join(b_corpus, embeddings[id_col] == b_corpus["vec_id"]).select(
+        b_corpus["vec_id"], F.col(vec_col).cast("array<double>").alias("v"), "bucket"
+    )
+    b_q = srp_lsh_buckets(queries, n_planes, dim, id_col, vec_col)
+    q = queries.join(b_q, queries[id_col] == b_q["vec_id"]).select(
+        b_q["vec_id"].alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    joined = corpus.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 3).desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round(cos, 3).alias("cosine"))
+    )

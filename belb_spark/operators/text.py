@@ -1,0 +1,74 @@
+"""Text-analysis operators for a training-data pipeline: quality scoring,
+language-ID heuristic, token counting, document fingerprinting.
+
+Everything is JVM expressions (split / filter / aggregate / md5) — a 100 TB
+corpus pays zero Python tax here. Ratios are computed as exact integer
+divisions (both operands integral) so results are bit-identical across
+engines, then rounded for presentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from belb_spark.operators.blocking import shingles_col
+from belb_spark.operators.dedup import tokens_col
+
+STOPWORDS = ["the", "a"]
+
+
+def text_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, avg_token_len, stopword_ratio, short_ratio)."""
+    t = tokens_col(text_col)
+    n = F.size(t)
+    stop = F.size(F.filter(t, lambda x: x.isin(STOPWORDS)))
+    short = F.size(F.filter(t, lambda x: F.length(x) <= 3))
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(total_len / n, 4).alias("avg_token_len"),
+        F.round(stop / n, 4).alias("stopword_ratio"),
+        F.round(short / n, 4).alias("short_ratio"),
+    )
+
+
+def lang_id_heuristic(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str = "lang"
+) -> DataFrame:
+    """Stopword-ratio language guess (n-gram-heuristic family): en iff
+    stopword density ≥ 5%. Output (doc_id, pred_lang, matches)."""
+    t = tokens_col(text_col)
+    ratio = F.size(F.filter(t, lambda x: x.isin(STOPWORDS))) / F.size(t)
+    pred = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("pred_lang"),
+        (pred == F.col(lang_col)).alias("matches"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (ceil(chars/4) —
+    the usual ~4-chars-per-token rule). Output (doc_id, n_tokens, est_bpe)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).alias("n_tokens"),
+        F.ceil(F.length(text_col) / 4.0).cast("long").alias("est_bpe"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, width: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over width-token shingles of the
+    lowercased text (rolling-hash family, engine-portable).
+    Output (doc_id, fingerprint)."""
+    sh = shingles_col(tokens_col(F.lower(F.col(text_col))), width)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )
