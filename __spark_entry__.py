@@ -49,7 +49,12 @@ HIGH = "('8','9','a','b','c','d','e','f')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # testdata ships as ONE small parquet file = one input split; fan out to
+    # all cores before the expression-heavy ops (at real scale the source is
+    # already many splits and this repartition is dropped at the loader)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

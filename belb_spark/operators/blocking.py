@@ -20,10 +20,14 @@ by dropping hot blocks (see pairs.py docstring).
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 
 @dataclass(frozen=True)
@@ -34,10 +38,68 @@ class BlockingConfig:
     use_prefix: bool = True
     prefix_start: int = 2        # 0-based token offset of the prefix key
     prefix_len: int = 2
+    # 'udf': one Arrow UDF — blake2b per shingle once + affine permutations
+    #        in numpy (fast, the default); 'jvm': pure-JVM xxhash64 inside
+    #        higher-order transforms (no Python at all, ~interpreted-expr
+    #        cost). Key *sets* differ between strategies (different hash
+    #        families) but both are deterministic and near-dup-equivalent.
+    strategy: str = "udf"
 
     @property
     def n_bands(self) -> int:
         return self.minhash_perms // self.band_size
+
+
+def _affine_consts(perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed odd multipliers / offsets (splitmix64 stream, seed 0x9E3779...)
+    — deterministic across runs and machines, mod-2^64 arithmetic."""
+    a, b = [], []
+    x = np.uint64(0x9E3779B97F4A7C15)
+    for _ in range(perms):
+        x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) % 2**64)
+        a.append(int(x) | 1)
+        x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) % 2**64)
+        b.append(int(x))
+    return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
+
+
+def make_band_keys_udf(cfg: BlockingConfig):
+    """Arrow-batched band-key generator: norm_tokens -> array of LSH band
+    keys. One blake2b(8B) per distinct shingle, then ``perms`` affine
+    permutations vectorized in numpy (min over shingles per permutation)."""
+    perms, band_size, width = cfg.minhash_perms, cfg.band_size, cfg.shingle_width
+    n_bands = cfg.n_bands
+    A, B = _affine_consts(perms)
+
+    def _band_keys(tokens: pd.Series) -> pd.Series:
+        out = []
+        for ts in tokens:
+            n = len(ts)
+            if n >= width:
+                shingles = {" ".join(ts[i : i + width]) for i in range(n - width + 1)}
+            else:
+                shingles = {" ".join(ts)}
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in shingles
+                ),
+                dtype=np.uint64,
+                count=len(shingles),
+            )
+            # perms × shingles affine family, wraparound mod 2^64
+            sig = (A[:, None] * hs[None, :] + B[:, None]).min(axis=1)
+            out.append(
+                [
+                    f"mh{b}:" + "_".join(str(sig[b * band_size + r]) for r in range(band_size))
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(_band_keys, ArrayType(StringType()))
 
 
 def shingles_col(tokens: str | Column, width: int = 3) -> Column:
@@ -91,9 +153,12 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig = BlockingConfig()) ->
         )
         keys.append(F.array(pfx))
     if cfg.minhash_perms > 0:
-        sh = shingles_col("norm_tokens", cfg.shingle_width)
-        sig = minhash_signature(sh, cfg.minhash_perms)
-        keys.append(band_keys(sig, cfg))
+        if cfg.strategy == "udf":
+            keys.append(make_band_keys_udf(cfg)(F.col("norm_tokens")))
+        else:
+            sh = shingles_col("norm_tokens", cfg.shingle_width)
+            sig = minhash_signature(sh, cfg.minhash_perms)
+            keys.append(band_keys(sig, cfg))
 
     out = (
         df.select("uid", F.explode(F.concat(*keys)).alias("block_key"))

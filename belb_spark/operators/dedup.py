@@ -70,30 +70,38 @@ def minhash_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
-    )
-    sigs = base.select("id", "sh", *md5_minhash_sig(F.col("sh"), perms))
+    ).persist()  # reused by the band join AND the verify joins — avoid
+    # recomputing the shingle expressions (no cross-branch CSE in Catalyst)
+    sigs = base.select("id", *md5_minhash_sig(F.col("sh"), perms))
     bands = []
     for b in range(perms // band_size):
         parts = [F.col(f"sig{b * band_size + r}") for r in range(band_size)]
         bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    exploded = sigs.select(
-        "id", "sh", F.explode(F.array(*bands)).alias("band_key")
-    )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
-    )
-    b_ = exploded.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_key")
+    # slim (id, band_key) join + distinct on ids only; shingle arrays are
+    # attached AFTER dedup so the shuffle moves 16-byte rows, not documents
+    exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
+    a = exploded.select(F.col("id").alias("id_a"), "band_key")
+    b_ = exploded.select(F.col("id").alias("id_b"), "band_key")
     pairs = (
         a.join(b_, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    return _attach_jaccard(pairs, base, min_jaccard)
+
+
+def _attach_jaccard(pairs: DataFrame, base: DataFrame, min_jaccard: float) -> DataFrame:
+    """Join shingle lists onto slim (id_a, id_b) pairs and compute the true
+    shingle-set Jaccard."""
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", jacc)
+        joined.withColumn("jaccard", jacc)
         .filter(F.col("jaccard") >= F.lit(min_jaccard))
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -133,24 +141,17 @@ def ngram_jaccard_pairs(
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
-    )
-    ex = base.select("id", "sh", F.explode("sh").alias("s"))
-    a = ex.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "s")
-    b = ex.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "s")
+    ).persist()
+    ex = base.select("id", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("id_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), "s")
     pairs = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        pairs.withColumn("jaccard", jacc)
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return _attach_jaccard(pairs, base, min_jaccard)
 
 
 def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -19,15 +19,17 @@ here once and carried through every later stage (BASELINE.json north rule).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 # tokens = maximal runs of [a-z0-9_] over the lowercased content; everything
 # else (quotes, tabs, unicode spaces, punctuation) acts as a separator, which
 # subsumes belb's strip/replace normalizations X1-X4 (SURVEY.md §2.9)
 _TOKEN_SPLIT = "[^a-z0-9_]+"
 
-MAP_LITERAL_MAX = 20_000  # dict rows below this use the zero-shuffle path
+MAP_LITERAL_MAX = 20_000  # retained for API compat; see canonicalize() strategies
 
 
 def assign_uids(repos: DataFrame) -> DataFrame:
@@ -70,29 +72,53 @@ def normalize(
     )
 
     if synonym_dict is not None:
-        n_dict = synonym_dict.count()
-        if n_dict <= MAP_LITERAL_MAX:
-            cmap = canonical_token_map(synonym_dict)
-            if cmap:
-                pairs = []
-                for k, v in sorted(cmap.items()):
-                    pairs.append(F.lit(k))
-                    pairs.append(F.lit(v))
-                m = F.create_map(*pairs)
-                df = df.withColumn(
-                    "norm_tokens",
-                    F.transform("tokens", lambda t: F.coalesce(m[t], t)),
-                )
-            else:
-                df = df.withColumn("norm_tokens", F.col("tokens"))
-        else:
-            df = _canonicalize_via_join(df, synonym_dict)
+        df = canonicalize(df, synonym_dict)
     else:
         df = df.withColumn("norm_tokens", F.col("tokens"))
 
     df = df.withColumn("norm_text", F.array_join("norm_tokens", " "))
     df = df.withColumn("token_set", F.array_sort(F.array_distinct("norm_tokens")))
     return df.drop("tokens")
+
+
+def canonicalize(
+    df: DataFrame, synonym_dict: DataFrame, strategy: str = "udf"
+) -> DataFrame:
+    """tokens -> norm_tokens via the synonym dictionary. Three physical
+    strategies with the same semantics:
+
+    - ``udf`` (default): one vectorized Arrow UDF with the dict broadcast in
+      the closure — NO shuffle, O(1) hash lookups. The dict is belb-kb-sized
+      (≤ millions of entries), the corpus is not; keeping the big side
+      narrow wins at scale.
+    - ``map``: pure-JVM map-literal ``transform`` — no shuffle, no Python,
+      but GetMapValue is a linear scan per token: right only for tiny dicts.
+    - ``join``: posexplode + broadcast-join + re-agg — pure JVM with hash
+      lookups, but shuffles the entire token stream twice; the belb-style
+      J3 re-expression (belb/kbs/kb.py:538-570) for when the dict outgrows
+      a broadcast variable.
+    """
+    if strategy == "join":
+        return _canonicalize_via_join(df, synonym_dict)
+    cmap = canonical_token_map(synonym_dict)
+    if not cmap:
+        return df.withColumn("norm_tokens", F.col("tokens"))
+    if strategy == "map" or (strategy == "udf" and len(cmap) <= 64):
+        pairs = []
+        for k, v in sorted(cmap.items()):
+            pairs.append(F.lit(k))
+            pairs.append(F.lit(v))
+        m = F.create_map(*pairs)
+        return df.withColumn(
+            "norm_tokens", F.transform("tokens", lambda t: F.coalesce(m[t], t))
+        )
+
+    def _canon(tokens: pd.Series) -> pd.Series:
+        get = cmap.get
+        return tokens.map(lambda ts: [get(t, t) for t in ts])
+
+    canon_udf = F.pandas_udf(_canon, ArrayType(StringType()))
+    return df.withColumn("norm_tokens", canon_udf(F.col("tokens")))
 
 
 def _canonicalize_via_join(df: DataFrame, synonym_dict: DataFrame) -> DataFrame:

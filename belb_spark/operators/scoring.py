@@ -51,6 +51,11 @@ def score_pairs(
     joined = pairs.join(a, "uid_a").join(b, "uid_b")
     joined = joined.withColumn("jacc", token_jaccard("ts_a", "ts_b"))
     joined = joined.filter(F.col("jacc") >= F.lit(cfg.jaccard_prefilter))
+    # spread the Python-UDF stage across all workers: AQE happily coalesces
+    # the (byte-wise small) pair shuffle to 1-2 partitions, which would
+    # serialize the CPU-bound scorer. Rows are slim; the shuffle is cheap.
+    spark = joined.sparkSession
+    joined = joined.repartition(spark.sparkContext.defaultParallelism)
 
     rich = make_rich_score_udf(cfg.w_jw, cfg.w_lev, cfg.w_cos, cfg.clip_chars)
     scored = joined.withColumn(

@@ -38,6 +38,10 @@ class ERConfig:
     pairs: PairsConfig = field(default_factory=PairsConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     cc_max_iter: int = 30
+    # explicit ingest partitioning (north rule): 0 = spark default
+    # parallelism. A single-file local parquet source otherwise yields ONE
+    # input split and serializes every expression-heavy stage.
+    input_partitions: int = 0
 
 
 @dataclass
@@ -64,9 +68,13 @@ def run_pipeline(
         checkpoint_dir = tempfile.mkdtemp(prefix="belb_spark_ckpt_")
     store = CheckpointStore(spark, checkpoint_dir)
 
+    # explicit partitioning at ingest, before any expression-heavy stage
+    n_part = cfg.input_partitions or spark.sparkContext.defaultParallelism
+    repos_in = repos.repartition(n_part)
+
     # 1. normalize (content untouched; sha carried)
     norm_res = store.run(
-        "01_normalize", sig, lambda: normalize(repos, synonym_dict)
+        "01_normalize", sig, lambda: normalize(repos_in, synonym_dict)
     )
     norm = norm_res.df
     violations = check_sha_invariant(norm)

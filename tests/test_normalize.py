@@ -47,21 +47,21 @@ def test_normalize_without_dict(spark, tiny_spark):
     assert norm.filter(F.col("norm_tokens").isNull()).count() == 0
 
 
-def test_large_dict_join_path(spark, tiny_spark):
-    """Force the explode+broadcast-join path and check it agrees with the
-    map-literal path."""
-    import belb_spark.operators.normalize as N
+def test_canonicalize_strategies_agree(spark, tiny_spark):
+    """udf (Arrow, no shuffle), map (JVM literal), join (broadcast J3) are
+    three physical plans for one logical op — results must be identical."""
+    from belb_spark.operators.normalize import assign_uids, canonicalize
+    from pyspark.sql import functions as F
 
-    a = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
-    old = N.MAP_LITERAL_MAX
-    N.MAP_LITERAL_MAX = 0
-    try:
-        b = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
-    finally:
-        N.MAP_LITERAL_MAX = old
-    diff = (
-        a.select("uid", "norm_text")
-        .exceptAll(b.select("uid", "norm_text"))
-        .count()
+    base = assign_uids(tiny_spark["repos"]).withColumn(
+        "tokens",
+        F.filter(F.split(F.lower("content"), "[^a-z0-9_]+"), lambda t: t != F.lit("")),
     )
-    assert diff == 0
+    outs = {
+        s: canonicalize(base, tiny_spark["synonym_dict"], strategy=s)
+        .select("uid", F.array_join("norm_tokens", " ").alias("nt"))
+        for s in ["udf", "map", "join"]
+    }
+    for s in ["map", "join"]:
+        assert outs["udf"].exceptAll(outs[s]).count() == 0, s
+        assert outs[s].exceptAll(outs["udf"]).count() == 0, s
