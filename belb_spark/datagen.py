@@ -65,6 +65,11 @@ class GenConfig:
 TINY = GenConfig()
 SMALL = GenConfig(n_entities=600, n_distractors=800, n_hot=4)
 BENCH = GenConfig(n_entities=4000, n_distractors=5000, n_hot=8, hot_members=200)
+# scaling-evidence scale: big enough that per-stage fixed costs amortize and
+# the CPU-bound stages dominate (~250k rows, ~1.8M candidate pairs)
+SCALING = GenConfig(n_entities=20_000, n_distractors=25_000, n_hot=12, hot_members=200)
+
+SCALES = {"tiny": TINY, "small": SMALL, "bench": BENCH, "scaling": SCALING}
 
 
 def _vocab(cfg: GenConfig) -> list[str]:
@@ -340,7 +345,9 @@ def save(tables: dict[str, pd.DataFrame], out_dir: str) -> None:
     p = pathlib.Path(out_dir)
     p.mkdir(parents=True, exist_ok=True)
     for name, df in tables.items():
-        df.to_parquet(p / f"{name}.parquet", index=False)
+        # small row groups so Spark can split the single file into parallel
+        # scan ranges (1 row group == 1 unsplittable task otherwise)
+        df.to_parquet(p / f"{name}.parquet", index=False, row_group_size=4096)
 
 
 def generate_and_save(out_dir: str, cfg: GenConfig = TINY) -> dict[str, pd.DataFrame]:

@@ -78,12 +78,15 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     prev_fp = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        fp = _fingerprint(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+        # extra rounds are idempotent once converged — checking every 2nd
+        # round halves the driver-side fingerprint jobs
+        if it % 2 == 1 or it == max_iter - 1:
+            fp = _fingerprint(e)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
 
     # converged: e is a star forest (member u -> root v)
     labels = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster")).union(

@@ -58,27 +58,52 @@ def canonical_token_map(synonym_dict: DataFrame) -> dict[str, str]:
 def normalize(
     repos: DataFrame,
     synonym_dict: DataFrame | None = None,
+    strategy: str = "udf",
 ) -> DataFrame:
     """repos(uid?, repo, path, commit, lang, content) ->
     + content_sha, norm_tokens (canonicalized), norm_text, token_set.
+
+    Default strategy fuses tokenize + canonicalize into ONE Arrow pass over
+    ``content`` (C-regex + dict lookups — both serial bottlenecks when done
+    as interpreted higher-order JVM expressions). ``map``/``join`` keep the
+    whole stage JVM-side; all strategies are result-identical (tested).
     """
     df = assign_uids(repos)
     df = df.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    df = df.withColumn(
-        "tokens",
-        F.filter(
-            F.split(F.lower(F.col("content")), _TOKEN_SPLIT), lambda t: t != F.lit("")
-        ),
-    )
 
-    if synonym_dict is not None:
-        df = canonicalize(df, synonym_dict)
+    if strategy == "udf":
+        cmap = (
+            canonical_token_map(synonym_dict) if synonym_dict is not None else {}
+        )
+
+        def _tok_canon(content: pd.Series) -> pd.Series:
+            import re
+
+            tok = re.compile(r"[a-z0-9_]+")
+            get = cmap.get
+            return content.map(
+                lambda c: [get(t, t) for t in tok.findall(c.lower())]
+            )
+
+        tc = F.pandas_udf(_tok_canon, ArrayType(StringType()))
+        df = df.withColumn("norm_tokens", tc(F.col("content")))
     else:
-        df = df.withColumn("norm_tokens", F.col("tokens"))
+        df = df.withColumn(
+            "tokens",
+            F.filter(
+                F.split(F.lower(F.col("content")), _TOKEN_SPLIT),
+                lambda t: t != F.lit(""),
+            ),
+        )
+        if synonym_dict is not None:
+            df = canonicalize(df, synonym_dict, strategy)
+        else:
+            df = df.withColumn("norm_tokens", F.col("tokens"))
+        df = df.drop("tokens")
 
     df = df.withColumn("norm_text", F.array_join("norm_tokens", " "))
     df = df.withColumn("token_set", F.array_sort(F.array_distinct("norm_tokens")))
-    return df.drop("tokens")
+    return df
 
 
 def canonicalize(

@@ -55,7 +55,8 @@ def score_pairs(
     # the (byte-wise small) pair shuffle to 1-2 partitions, which would
     # serialize the CPU-bound scorer. Rows are slim; the shuffle is cheap.
     spark = joined.sparkSession
-    joined = joined.repartition(spark.sparkContext.defaultParallelism)
+    # 3 waves per core: a straggler partition costs 1/3 wave, not a full one
+    joined = joined.repartition(3 * spark.sparkContext.defaultParallelism)
 
     rich = make_rich_score_udf(cfg.w_jw, cfg.w_lev, cfg.w_cos, cfg.clip_chars)
     scored = joined.withColumn(

@@ -72,11 +72,17 @@ def run_pipeline(
     n_part = cfg.input_partitions or spark.sparkContext.defaultParallelism
     repos_in = repos.repartition(n_part)
 
-    # 1. normalize (content untouched; sha carried)
+    # 1. normalize (content untouched; sha carried). The checkpoint stores
+    # only norm_tokens; norm_text/token_set are derived again after read —
+    # they are cheap JVM expressions and would double the checkpoint bytes.
     norm_res = store.run(
-        "01_normalize", sig, lambda: normalize(repos_in, synonym_dict)
+        "01_normalize",
+        sig,
+        lambda: normalize(repos_in, synonym_dict).drop("norm_text", "token_set"),
     )
-    norm = norm_res.df
+    norm = norm_res.df.withColumn(
+        "norm_text", F.array_join("norm_tokens", " ")
+    ).withColumn("token_set", F.array_sort(F.array_distinct("norm_tokens")))
     violations = check_sha_invariant(norm)
     assert violations == 0, f"sha256 invariant broken in normalize: {violations}"
     metrics["rows_in"] = norm_res.rows

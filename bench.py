@@ -45,7 +45,7 @@ def run_er(spark, scale: str) -> dict:
     from belb_spark import datagen
     from belb_spark.pipeline import run_pipeline
 
-    cfg = {"tiny": datagen.TINY, "small": datagen.SMALL, "bench": datagen.BENCH}[scale]
+    cfg = datagen.SCALES[scale]
     data_dir = pathlib.Path(f"/tmp/belb_bench_data_{scale}_{cfg.seed}")
     if not (data_dir / "repos.parquet").exists():
         datagen.generate_and_save(str(data_dir), cfg)

@@ -22,7 +22,7 @@ import tempfile
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scale", choices=["tiny", "small", "bench"], default="tiny")
+    ap.add_argument("--scale", choices=["tiny", "small", "bench", "scaling"], default="tiny")
     ap.add_argument("--data-dir", default=None, help="reuse pre-generated tables")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--master", default=None, help="e.g. local[8]; default env SPARK_GRAFT_CPUS")
@@ -36,7 +36,7 @@ def main() -> int:
     spark = get_spark("belb_spark_pipeline", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
-    cfg = {"tiny": datagen.TINY, "small": datagen.SMALL, "bench": datagen.BENCH}[args.scale]
+    cfg = datagen.SCALES[args.scale]
     if args.data_dir is None:
         args.data_dir = tempfile.mkdtemp(prefix=f"belb_data_{args.scale}_")
     data = pathlib.Path(args.data_dir)

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Scaling evidence: the same ER job at two parallelism levels (local[8] vs
+local[32] — the sandbox stand-in for N vs 4N executors, per BASELINE.md) on
+the same input; reports throughput at both plus scaling efficiency.
+
+Each level runs in its own subprocess (fresh JVM) via spark-submit --py-files
+(north-rule launch mode). Shuffle partitions scale with cores (4× cores) so
+the comparison is honest. Results land in BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--scale bench] [--repeats 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+RUNNER = r"""
+import json, sys, time, tempfile, shutil, pathlib
+master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
+from belb_spark.session import get_spark, cores_from_master
+from belb_spark.pipeline import run_pipeline
+cores = cores_from_master(master)
+spark = get_spark("scaling", master=master, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+d = pathlib.Path(data_dir)
+repos = spark.read.parquet(str(d / "repos.parquet"))
+syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
+lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
+ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_")
+t0 = time.time()
+res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt)
+wall = time.time() - t0
+shutil.rmtree(ckpt, ignore_errors=True)
+m = res.metrics
+pairs = m["pairs_scored"] + m["exact_dup_edges"]
+print("RESULT " + json.dumps({
+    "master": master, "cores": cores, "wall_sec": round(wall, 2),
+    "rows": m["rows_in"], "pairs": pairs,
+    "pairs_per_sec": round(pairs / wall, 1),
+    "rows_per_sec": round(m["rows_in"] / wall, 1),
+    "test_f1": m["eval"]["test"]["f1"],
+    "stage_walls": {s["stage"]: round(s.get("wall_sec", 0), 1) for s in res.stages},
+}))
+"""
+
+
+def run_level(master: str, data_dir: str, scale: str, repeats: int) -> dict:
+    runner = REPO / "scripts" / "_scaling_runner.py"
+    runner.write_text(RUNNER)
+    best = None
+    for _ in range(repeats):
+        cmd = [
+            "/opt/spark/bin/spark-submit",
+            "--master", master,
+            # the builder's spark.driver.memory is ignored once the JVM is
+            # up — must be a submit-time flag
+            "--driver-memory", "16g",
+            "--py-files", str(REPO / "dist" / "belb_spark.zip"),
+            str(runner), master, data_dir, scale,
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(out.stdout[-2000:], out.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"no RESULT from {master}")
+        r = json.loads(line[-1][len("RESULT "):])
+        if best is None or r["wall_sec"] < best["wall_sec"]:
+            best = r
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling"])
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares local[N] vs local[4N]")
+    args = ap.parse_args()
+
+    # build the py-files zip + the shared input once
+    (REPO / "dist").mkdir(exist_ok=True)
+    subprocess.run(
+        ["bash", "-c", "cd %s && rm -f dist/belb_spark.zip && zip -qr dist/belb_spark.zip belb_spark -x '*__pycache__*'" % REPO],
+        check=True,
+    )
+    from belb_spark import datagen
+
+    cfg = datagen.SCALES[args.scale]
+    data_dir = f"/tmp/belb_bench_data_{args.scale}_{cfg.seed}"
+    if not pathlib.Path(f"{data_dir}/repos.parquet").exists():
+        datagen.generate_and_save(data_dir, cfg)
+
+    # interleave repeats (N, 4N, N, 4N, ...) so bursty co-tenant load on this
+    # shared box hits both levels symmetrically; keep the best of each
+    n = n4 = None
+    loads = []
+    for _ in range(args.repeats):
+        loads.append(open("/proc/loadavg").read().split()[0])
+        r8 = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1)
+        loads.append(open("/proc/loadavg").read().split()[0])
+        r32 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1)
+        if n is None or r8["wall_sec"] < n["wall_sec"]:
+            n = r8
+        if n4 is None or r32["wall_sec"] < n4["wall_sec"]:
+            n4 = r32
+    loads.append(open("/proc/loadavg").read().split()[0])
+    eff = (n4["pairs_per_sec"]) / (4 * n["pairs_per_sec"])
+    speedup = n["wall_sec"] / n4["wall_sec"]
+
+    report = {
+        "scale": args.scale,
+        "N": n,
+        "4N": n4,
+        "speedup_wall": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "host_loadavg_during_runs": loads,
+    }
+    print(json.dumps(report, indent=2))
+
+    md = f"""# BENCH/BASELINE — scaling evidence
+
+Same ER job (normalize → block → pairs → score → cluster → eval), same input
+({n["rows"]} rows, synthetic `{args.scale}` scale, seed {cfg.seed}), launched via
+`spark-submit --py-files dist/belb_spark.zip` at two parallelism levels —
+the sandbox stand-in for N vs 4N executors (BASELINE.md). Shuffle
+partitions = 4 × cores at each level. Best of {args.repeats} runs per level.
+
+| level | cores | wall (s) | pairs scored | pairs/sec | rows/sec | test F1 |
+|---|---|---|---|---|---|---|
+| N  (local[{n["cores"]}])  | {n["cores"]}  | {n["wall_sec"]} | {n["pairs"]} | {n["pairs_per_sec"]} | {n["rows_per_sec"]} | {n["test_f1"]} |
+| 4N (local[{n4["cores"]}]) | {n4["cores"]} | {n4["wall_sec"]} | {n4["pairs"]} | {n4["pairs_per_sec"]} | {n4["rows_per_sec"]} | {n4["test_f1"]} |
+
+- **Wall-clock speedup N → 4N: {speedup:.2f}×**
+- **Scaling efficiency (throughput@4N / (4 × throughput@N)): {eff:.3f}**
+  (target ≥ 0.8 per BASELINE.json; single-box caveat: this measures CPU
+  scaling — shuffle/network scaling needs a real cluster)
+
+Per-stage wall seconds:
+
+| stage | N ({n["cores"]} cores) | 4N ({n4["cores"]} cores) |
+|---|---|---|
+""" + "\n".join(
+        f"| {k} | {n['stage_walls'].get(k)} | {n4['stage_walls'].get(k)} |"
+        for k in n["stage_walls"]
+    ) + "\n"
+
+    out_md = REPO / "BENCH" / "BASELINE.md"
+    out_md.parent.mkdir(exist_ok=True)
+    out_md.write_text(md)
+    (REPO / "BENCH" / f"scaling_{args.scale}.json").write_text(json.dumps(report, indent=2))
+    print(f"wrote {out_md}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

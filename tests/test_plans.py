@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the plans stay the plans we designed.
+
+These catch silent regressions Catalyst won't complain about — a broadcast
+join decaying to sort-merge, a filter no longer reaching the parquet scan, a
+second Python stage sneaking into scoring.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from belb_spark.operators import relational as R
+from belb_spark.plans import (
+    arrow_eval_count,
+    has_pushed_filters,
+    plan_string,
+    uses_broadcast_join,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_star_join_stays_broadcast(spark):
+    df = R.star_join_revenue(spark, SF)
+    assert uses_broadcast_join(df)
+    assert "SortMergeJoin" not in plan_string(df)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = R.tpch_q1(spark, SF)
+    assert has_pushed_filters(df)
+
+
+def test_scan_prunes_columns(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    s = plan_string(li)
+    assert "ReadSchema" in s
+    # only the projected columns reach the reader
+    assert "l_extendedprice" not in s.split("ReadSchema")[1][:300]
+
+
+def test_scoring_has_exactly_one_python_stage(spark, tiny_spark):
+    from belb_spark.operators.blocking import BlockingConfig, block_keys
+    from belb_spark.operators.normalize import normalize
+    from belb_spark.operators.pairs import candidate_pairs
+    from belb_spark.operators.scoring import ScoringConfig, score_pairs
+
+    norm = normalize(tiny_spark["repos"], tiny_spark["synonym_dict"])
+    # normalization itself is one Arrow stage (tokenize+canonicalize fused)
+    assert arrow_eval_count(norm) == 1
+    # stage boundary (the pipeline checkpoints here) — downstream plans
+    # must not re-evaluate upstream Python stages
+    norm_ck = norm.localCheckpoint(eager=True)
+    blocks = block_keys(norm_ck, BlockingConfig())
+    assert arrow_eval_count(blocks) == 1  # the band-key UDF only
+    pairs = candidate_pairs(blocks).localCheckpoint(eager=True)
+    scored = score_pairs(pairs, norm_ck, ScoringConfig())
+    # scoring adds exactly ONE Python stage (the rich scorer); the Jaccard
+    # prefilter stays JVM-side
+    s = plan_string(scored, "simple")
+    assert s.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in s  # no row-at-a-time Python anywhere
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from belb_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = cosine_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"), k=3)
+    assert uses_broadcast_join(df)
