@@ -83,6 +83,71 @@ def candidate_pairs(
     return pairs
 
 
+def candidate_pairs_salted(
+    blocks: DataFrame,
+    cfg: PairsConfig = PairsConfig(),
+    salt_threshold: int = 1024,
+    rows_per_salt: int = 512,
+) -> DataFrame:
+    """Salted physical strategy for the same logical pair set (north rule:
+    "salted, explicitly repartitioned" block keys).
+
+    The anchor-capped join in :func:`candidate_pairs` bounds how many pairs
+    a hot block EMITS, but a block with 10^6 rows still lands on ONE shuffle
+    reducer. Here hot keys (> salt_threshold rows) are split into salt
+    buckets of ~rows_per_salt rows, and only the block's ``anchor_rank``
+    anchor rows are replicated into every bucket — pairs form between
+    anchors and bucket members, so connectivity through the anchors is
+    preserved while no reducer sees more than one bucket.
+
+    Emits the same pairs as the anchor-capped join for blocks above the cap
+    (anchor×member), and all pairs for small blocks. Dedupe on (a, b).
+    """
+    w = Window.partitionBy("block_key").orderBy("uid")
+    ranked = (
+        blocks.filter(~F.col("block_key").startswith("exact:"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("block_key")))
+    )
+    small = ranked.filter(F.col("bn") <= cfg.full_join_max)
+    hot = ranked.filter(F.col("bn") > cfg.full_join_max)
+
+    # small blocks: plain within-block join
+    s_left = small.select("block_key", F.col("uid").alias("uid_a"))
+    s_right = small.select("block_key", F.col("uid").alias("uid_b"))
+    small_pairs = (
+        s_left.join(s_right, "block_key")
+        .filter(F.col("uid_a") < F.col("uid_b"))
+        .select("uid_a", "uid_b")
+    )
+
+    # hot blocks: salt members; replicate anchors to every salt bucket
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("bn") / F.lit(rows_per_salt)).cast("int")
+    )
+    members = hot.withColumn(
+        "salt", F.pmod(F.xxhash64("uid"), n_salts).cast("int")
+    ).select("block_key", "salt", F.col("uid").alias("uid_b"))
+    anchors = (
+        hot.filter(F.col("rn") <= cfg.anchor_rank)
+        .withColumn("salt_arr", F.sequence(F.lit(0), n_salts - 1))
+        .select(
+            "block_key",
+            F.explode("salt_arr").alias("salt"),
+            F.col("uid").alias("uid_a"),
+        )
+    )
+    hot_pairs = (
+        anchors.join(members.repartition("block_key", "salt"), ["block_key", "salt"])
+        .filter(F.col("uid_a") != F.col("uid_b"))
+        .select(
+            F.least("uid_a", "uid_b").alias("uid_a"),
+            F.greatest("uid_a", "uid_b").alias("uid_b"),
+        )
+    )
+    return small_pairs.unionByName(hot_pairs).distinct()
+
+
 def pair_stats(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:
     """Per-block emitted vs theoretical pair counts (logged, not silent)."""
     sizes = blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n"))

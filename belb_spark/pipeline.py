@@ -104,32 +104,66 @@ def run_pipeline(
     metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
     metrics["max_block_size"] = int(stats["max_block"] or 0)
 
-    pairs_res = store.run(
-        "03_pairs", sig, lambda: candidate_pairs(blocks, cfg.pairs)
+    # one checkpoint for both pair families: block candidates (to be scored)
+    # and ready exact-duplicate star edges (score 1.0 by construction)
+    def build_candidates() -> DataFrame:
+        blk = candidate_pairs(blocks, cfg.pairs).withColumn("src", F.lit("block"))
+        exact = exact_duplicate_edges(norm).withColumn("src", F.lit("exact"))
+        # a pair that is an exact duplicate needs no scoring — keep the
+        # exact row, drop the block duplicate
+        blk_only = blk.join(
+            exact.select("uid_a", "uid_b"), ["uid_a", "uid_b"], "left_anti"
+        )
+        return blk_only.unionByName(exact)
+
+    cand_res = store.run("03_candidates", sig, build_candidates)
+    exact_edges = cand_res.df.filter(F.col("src") == "exact").select("uid_a", "uid_b")
+    block_pairs = cand_res.df.filter(F.col("src") == "block").select("uid_a", "uid_b")
+    n_exact = exact_edges.count()
+    metrics["exact_dup_edges"] = n_exact
+    metrics["candidate_pairs"] = cand_res.rows - n_exact
+
+    # 4. scoring (block candidates only)
+    scores_res = store.run(
+        "04_scores", sig, lambda: score_pairs(block_pairs, norm, cfg.scoring)
     )
-    pairs = pairs_res.df
-    metrics["candidate_pairs"] = pairs_res.rows
-
-    exact_res = store.run(
-        "03b_exact_edges", sig, lambda: exact_duplicate_edges(norm)
-    )
-    metrics["exact_dup_edges"] = exact_res.rows
-
-    # 4. scoring (pairs not already exact-dup edges)
-    def build_scores() -> DataFrame:
-        todo = pairs.join(exact_res.df, ["uid_a", "uid_b"], "left_anti")
-        return score_pairs(todo, norm, cfg.scoring)
-
-    scores_res = store.run("04_scores", sig, build_scores)
     metrics["pairs_scored"] = scores_res.rows
     metrics["scoring_wall_sec"] = scores_res.wall_sec
 
-    # 5. edges + connected components to fixpoint
+    # 5. edges + connected components to fixpoint.
+    # Exact-duplicate groups are pre-contracted to their anchor (they are
+    # already star edges); CC runs on the contracted graph — typically far
+    # smaller — then membership expands back through the anchor map.
     def build_assignment() -> DataFrame:
-        edges = edges_from_scores(scores_res.df, cfg.scoring.threshold).unionByName(
-            exact_res.df
+        scored_edges = edges_from_scores(scores_res.df, cfg.scoring.threshold)
+        anchor_map = exact_edges.select(
+            F.col("uid_b").alias("uid"), F.col("uid_a").alias("anchor")
         )
-        return connected_components(edges, nodes=norm.select("uid"), max_iter=cfg.cc_max_iter)
+        node_anchor = (
+            norm.select("uid")
+            .join(anchor_map, "uid", "left")
+            .select("uid", F.coalesce("anchor", F.col("uid")).alias("anchor"))
+        )
+        a_of = node_anchor.select(
+            F.col("uid").alias("uid_a"), F.col("anchor").alias("anchor_a")
+        )
+        b_of = node_anchor.select(
+            F.col("uid").alias("uid_b"), F.col("anchor").alias("anchor_b")
+        )
+        contracted = (
+            scored_edges.join(a_of, "uid_a")
+            .join(b_of, "uid_b")
+            .select(
+                F.least("anchor_a", "anchor_b").alias("uid_a"),
+                F.greatest("anchor_a", "anchor_b").alias("uid_b"),
+            )
+            .filter(F.col("uid_a") != F.col("uid_b"))
+        )
+        anchors = node_anchor.select(F.col("anchor").alias("uid")).distinct()
+        cc = connected_components(contracted, nodes=anchors, max_iter=cfg.cc_max_iter)
+        return node_anchor.join(
+            cc.withColumnRenamed("uid", "anchor"), "anchor"
+        ).select("uid", "cluster")
 
     assign_res = store.run("05_clusters", sig, build_assignment)
     assignment = assign_res.df

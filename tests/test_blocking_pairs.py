@@ -68,6 +68,19 @@ def test_anchor_cap_bounds_hot_blocks(blocks):
         assert r["pairs_emitted"] < r["pairs_theoretical"]
 
 
+def test_salted_strategy_emits_same_pairs(blocks):
+    """candidate_pairs_salted is a physical variant (replicated-anchor
+    salting) of the anchor-capped join — identical logical pair set."""
+    from belb_spark.operators.pairs import candidate_pairs_salted
+
+    cfg = PairsConfig(full_join_max=16, anchor_rank=4)
+    plain = candidate_pairs(blocks, cfg)
+    salted = candidate_pairs_salted(blocks, cfg, rows_per_salt=8)
+    assert salted.filter(F.col("uid_a") >= F.col("uid_b")).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_exact_duplicate_edges_star_shape(norm):
     edges = exact_duplicate_edges(norm)
     assert edges.filter(F.col("uid_a") >= F.col("uid_b")).count() == 0
