@@ -240,6 +240,32 @@ def q_event_except(spark, sf_dir):
     return R.event_type_except(spark, sf_dir)
 
 
+def q_dense_ids(spark, sf_dir):
+    return R.dense_ids(spark, sf_dir).select(
+        F.col("p_partkey").cast("long"), "p_brand", F.col("brand_id").cast("long")
+    )
+
+
+def q_min_by_shortest(spark, sf_dir):
+    return R.min_by_shortest(spark, sf_dir)
+
+
+def q_citations_grouping(spark, sf_dir):
+    return R.citations_grouping(spark, sf_dir).select(
+        F.col("user_id").cast("long"), "event_types", F.col("n_events").cast("long")
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    return R.doc_chunking(spark, sf_dir)
+
+
+def q_group_similarity(spark, sf_dir):
+    return R.group_similarity_stats(spark, sf_dir).select(
+        "lang", F.col("n_pairs").cast("long"), F.col("total_lev").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -266,6 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": q_json_extract,
         "events_hourly_window": q_events_window,
         "event_type_except": q_event_except,
+        "dense_ids": q_dense_ids,
+        "min_by_shortest": q_min_by_shortest,
+        "citations_grouping": q_citations_grouping,
+        "doc_chunking": q_doc_chunking,
+        "group_similarity_stats": q_group_similarity,
     }
 
 
@@ -585,6 +616,52 @@ FROM events WHERE ts < TIMESTAMP '2024-01-03'
 EXCEPT
 SELECT event_type, floor(value)::BIGINT
 FROM events WHERE ts >= TIMESTAMP '2024-01-03'
+"""
+
+    sql["dense_ids"] = """
+SELECT p_partkey::BIGINT AS p_partkey, p_brand,
+       dense_rank() OVER (ORDER BY p_brand)::BIGINT AS brand_id
+FROM part
+"""
+
+    sql["min_by_shortest"] = """
+WITH r AS (
+  SELECT p_brand, p_name,
+         row_number() OVER (PARTITION BY p_brand ORDER BY len(p_name), p_name) AS rn
+  FROM part
+)
+SELECT p_brand, p_name AS shortest_name FROM r WHERE rn = 1
+"""
+
+    sql["citations_grouping"] = """
+SELECT user_id::BIGINT AS user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+    sql["doc_chunking"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(tk[(i*20+1):(i*20+20)], ' ') AS chunk_text
+  FROM t, (SELECT unnest(range(0, 1000)) AS i) ix
+  WHERE i < ceil(len(tk) / 20.0)
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_text FROM c
+"""
+
+    sql["group_similarity_stats"] = """
+WITH top AS (
+  SELECT lang, doc_id, substr(text, 1, 60) AS t,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+)
+SELECT a.lang, count(*)::BIGINT AS n_pairs,
+       sum(levenshtein(a.t, b.t))::BIGINT AS total_lev
+FROM top a JOIN top b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.rn <= 8 AND b.rn <= 8
+GROUP BY a.lang
 """
 
     return sql

@@ -199,6 +199,82 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: dense int id per group key (belb's per-record int_id counters,
+    belb/kbs/ctd_diseases/ctd_diseases.py:104-130): dense_rank over p_brand."""
+    part = load(spark, sf_dir, "part")
+    w = Window.orderBy("p_brand")
+    return part.select(
+        "p_partkey", "p_brand", F.dense_rank().over(w).alias("brand_id")
+    )
+
+
+def min_by_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: shortest-element selection (shortest name → preferred name,
+    belb/kbs/umls/umls.py:181-183): per p_brand, the shortest p_name
+    (ties: lexicographic)."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.length("p_name"), "p_name")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("p_name").alias("shortest_name"))
+    )
+
+
+def citations_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: pmid → set of identifiers (belb/kbs/cellosaurus/cellosaurus.py:
+    200-226); here: user_id → ordered set of event types."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str, chunk: int = 20) -> DataFrame:
+    """T5: split documents into ≤chunk-token clones (belb's upsample-by-max-
+    mentions, belb/corpora/corpus.py:381-410). One row per (doc, chunk)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i * chunk + 1).cast("int"), chunk)
+                ),
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("chunk_idx").cast("long"),
+        "chunk_text",
+    )
+
+
+def group_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/X7: mean pairwise Levenshtein over within-group combinations
+    (belb/scripts/stats.py:203-250) — per lang, over the 8 shortest docs
+    (prefix-clipped), using the built-in levenshtein."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    top = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("lang", "doc_id", F.substring("text", 1, 60).alias("t"))
+    )
+    a = top.select("lang", F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
+    b = top.select("lang", F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
+    pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.levenshtein("t_a", "t_b")).alias("total_lev"),
+    )
+
+
 def event_type_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 set difference: event types seen before the cutoff but never after
     (notinkb = ids − inkb analogue, belb/kbs/kb.py:451)."""
