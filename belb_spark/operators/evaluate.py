@@ -50,6 +50,50 @@ def pairwise_metrics(
     )
 
 
+def tune_threshold(
+    scored: DataFrame,
+    labeled_pairs: DataFrame,
+    split: str = "dev",
+    grid: list[float] | None = None,
+) -> tuple[float, dict[float, float]]:
+    """Pick the edge threshold by pairwise F1 on the dev split (belb split
+    discipline: tune on dev, report on test — belb/corpora/parser.py:19-27).
+
+    Evaluates the whole grid in ONE aggregation pass: each labeled dev pair
+    is joined to its score once, then per-threshold tp/fp/fn are computed as
+    conditional sums — no per-threshold jobs, no driver-side loops over data.
+
+    Note this tunes the *edge* cut, while final evaluation is on clusters
+    (transitivity can only merge more) — so the tuned value is a lower-bound
+    style choice: the highest-F1 threshold, ties broken upward (precision-
+    safe for the clustering step).
+    """
+    if grid is None:
+        grid = [round(0.30 + 0.02 * i, 2) for i in range(31)]  # 0.30..0.90
+    lp = labeled_pairs.filter(F.col("split") == split).select(
+        "uid_a", "uid_b", "is_match"
+    )
+    joined = lp.join(scored, ["uid_a", "uid_b"], "left").select(
+        "is_match", F.coalesce("score", F.lit(-1.0)).alias("score")
+    )
+    aggs = []
+    for i, t in enumerate(grid):
+        pred = F.col("score") >= F.lit(t)
+        aggs.append(F.sum(F.when(pred & F.col("is_match"), 1).otherwise(0)).alias(f"tp{i}"))
+        aggs.append(F.sum(F.when(pred & ~F.col("is_match"), 1).otherwise(0)).alias(f"fp{i}"))
+        aggs.append(F.sum(F.when(~pred & F.col("is_match"), 1).otherwise(0)).alias(f"fn{i}"))
+    row = joined.agg(*aggs).collect()[0]
+    f1s: dict[float, float] = {}
+    for i, t in enumerate(grid):
+        tp, fp, fn = row[f"tp{i}"] or 0, row[f"fp{i}"] or 0, row[f"fn{i}"] or 0
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        f1s[t] = 2 * p * r / (p + r) if p + r else 0.0
+    best_f1 = max(f1s.values())
+    best_t = max(t for t, v in f1s.items() if v >= best_f1 - 1e-12)
+    return best_t, f1s
+
+
 def metrics_dict(metrics_df: DataFrame) -> dict[str, dict[str, float]]:
     return {
         row["split"]: {

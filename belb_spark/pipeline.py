@@ -38,6 +38,13 @@ class ERConfig:
     pairs: PairsConfig = field(default_factory=PairsConfig)
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     cc_max_iter: int = 30
+    # tune the edge threshold on labeled dev pairs (belb split discipline)
+    # instead of using scoring.threshold verbatim
+    tune_on_dev: bool = False
+    # physical strategy for the within-block self-join:
+    # 'capped' = anchor-capped join; 'salted' = replicated-anchor salting
+    # (same logical pair set — see operators/pairs.py)
+    pairs_strategy: str = "capped"
     # explicit ingest partitioning (north rule): 0 = spark default
     # parallelism. A single-file local parquet source otherwise yields ONE
     # input split and serializes every expression-heavy stage.
@@ -107,7 +114,13 @@ def run_pipeline(
     # one checkpoint for both pair families: block candidates (to be scored)
     # and ready exact-duplicate star edges (score 1.0 by construction)
     def build_candidates() -> DataFrame:
-        blk = candidate_pairs(blocks, cfg.pairs).withColumn("src", F.lit("block"))
+        if cfg.pairs_strategy == "salted":
+            from belb_spark.operators.pairs import candidate_pairs_salted
+
+            blk = candidate_pairs_salted(blocks, cfg.pairs)
+        else:
+            blk = candidate_pairs(blocks, cfg.pairs)
+        blk = blk.withColumn("src", F.lit("block"))
         exact = exact_duplicate_edges(norm).withColumn("src", F.lit("exact"))
         # a pair that is an exact duplicate needs no scoring — keep the
         # exact row, drop the block duplicate
@@ -130,12 +143,20 @@ def run_pipeline(
     metrics["pairs_scored"] = scores_res.rows
     metrics["scoring_wall_sec"] = scores_res.wall_sec
 
+    threshold = cfg.scoring.threshold
+    if cfg.tune_on_dev and labeled_pairs is not None:
+        from belb_spark.operators.evaluate import tune_threshold
+
+        threshold, dev_f1s = tune_threshold(scores_res.df, labeled_pairs, "dev")
+        metrics["tuned_threshold"] = threshold
+        metrics["dev_f1_at_tuned"] = dev_f1s[threshold]
+
     # 5. edges + connected components to fixpoint.
     # Exact-duplicate groups are pre-contracted to their anchor (they are
     # already star edges); CC runs on the contracted graph — typically far
     # smaller — then membership expands back through the anchor map.
     def build_assignment() -> DataFrame:
-        scored_edges = edges_from_scores(scores_res.df, cfg.scoring.threshold)
+        scored_edges = edges_from_scores(scores_res.df, threshold)
         anchor_map = exact_edges.select(
             F.col("uid_b").alias("uid"), F.col("uid_a").alias("anchor")
         )
@@ -184,4 +205,16 @@ def run_pipeline(
     (pathlib.Path(checkpoint_dir) / "metrics.json").write_text(
         json.dumps({"stages": stage_log, "metrics": metrics}, indent=2, default=str)
     )
+    # metrics as a queryable table (Iceberg metrics table in prod)
+    try:
+        import pandas as _pd
+
+        _pd.DataFrame(
+            [
+                {k: v for k, v in e.items() if not isinstance(v, (list, dict))}
+                for e in stage_log
+            ]
+        ).to_parquet(pathlib.Path(checkpoint_dir) / "metrics.parquet", index=False)
+    except Exception:
+        pass  # metrics table is best-effort; metrics.json is authoritative
     return ERResult(assignment=assignment, metrics=metrics, stages=stage_log)

@@ -23,5 +23,8 @@ print("RESULT " + json.dumps({
     "pairs_per_sec": round(pairs / wall, 1),
     "rows_per_sec": round(m["rows_in"] / wall, 1),
     "test_f1": m["eval"]["test"]["f1"],
+    "score_wall_sec": round(m["scoring_wall_sec"], 2),
+    "pairs_scored": m["pairs_scored"],
+    "pairs_scored_per_sec": round(m["pairs_scored"] / m["scoring_wall_sec"], 1),
     "stage_walls": {s["stage"]: round(s.get("wall_sec", 0), 1) for s in res.stages},
 }))
