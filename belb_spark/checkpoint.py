@@ -87,11 +87,16 @@ class CheckpointStore:
         shutil.rmtree(data_dir, ignore_errors=True)
         df.write.mode("overwrite").parquet(str(data_dir))
         out = self.spark.read.parquet(str(data_dir))
-        rows = out.count()
-        lineage = [
-            {"file": p.name, "bytes": p.stat().st_size}
-            for p in sorted(data_dir.glob("*.parquet"))
-        ]
+        # row counts + per-partition lineage straight from parquet footers —
+        # no extra Spark job per stage
+        import pyarrow.parquet as pq
+
+        lineage = []
+        rows = 0
+        for p in sorted(data_dir.glob("*.parquet")):
+            n = pq.ParquetFile(p).metadata.num_rows
+            rows += n
+            lineage.append({"file": p.name, "bytes": p.stat().st_size, "rows": n})
         manifest = {
             "signature": signature,
             "rows": rows,

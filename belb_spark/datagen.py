@@ -71,6 +71,14 @@ SCALING = GenConfig(n_entities=20_000, n_distractors=25_000, n_hot=12, hot_membe
 
 SCALES = {"tiny": TINY, "small": SMALL, "bench": BENCH, "scaling": SCALING}
 
+# bump when generation logic changes so /tmp bench caches invalidate
+DATAGEN_VERSION = 2
+
+
+def cache_dir(scale_name: str) -> str:
+    cfg = SCALES[scale_name]
+    return f"/tmp/belb_bench_data_{scale_name}_{cfg.seed}_v{DATAGEN_VERSION}"
+
 
 def _vocab(cfg: GenConfig) -> list[str]:
     return [f"{_WORDS[i % len(_WORDS)]}{i:04d}" for i in range(cfg.vocab_size)]
@@ -251,6 +259,12 @@ def generate(cfg: GenConfig = TINY) -> dict[str, pd.DataFrame]:
         if d % 3 == 0:  # hard negative: same first-3 tokens as a gold entity
             src = entity_base[rng.randrange(cfg.n_entities)]
             toks[0:3] = src[0:3]
+        elif d % 5 == 1:  # confusable: ~40% of a gold entity's tokens, incl.
+            # the block prefix — must be REJECTED by the scorer (tests
+            # precision, not just blocking)
+            src = entity_base[rng.randrange(cfg.n_entities)]
+            k40 = max(3, int(len(src) * 0.4))
+            toks[0:k40] = src[0:k40]
         lang = rng.choices(LANGS, weights=LANG_WEIGHTS)[0]
         content = _render(toks, fn=f"fn_d{d}")
         repo = f"org_{(d + 7) % 97:03d}/proj_{(d + 3) % 31:02d}"

@@ -46,7 +46,7 @@ def run_er(spark, scale: str) -> dict:
     from belb_spark.pipeline import run_pipeline
 
     cfg = datagen.SCALES[scale]
-    data_dir = pathlib.Path(f"/tmp/belb_bench_data_{scale}_{cfg.seed}")
+    data_dir = pathlib.Path(datagen.cache_dir(scale))
     if not (data_dir / "repos.parquet").exists():
         datagen.generate_and_save(str(data_dir), cfg)
     repos = spark.read.parquet(str(data_dir / "repos.parquet"))

@@ -95,7 +95,7 @@ def main() -> int:
     from belb_spark import datagen
 
     cfg = datagen.SCALES[args.scale]
-    data_dir = f"/tmp/belb_bench_data_{args.scale}_{cfg.seed}"
+    data_dir = datagen.cache_dir(args.scale)
     if not pathlib.Path(f"{data_dir}/repos.parquet").exists():
         datagen.generate_and_save(data_dir, cfg)
 
