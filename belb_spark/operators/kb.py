@@ -131,6 +131,40 @@ def name_homonyms(synonym_dict: DataFrame) -> DataFrame:
     )
 
 
+def foreign_name_homonyms(kb: DataFrame) -> DataFrame:
+    """A5 FOREIGN_NAME_HOMONYMS (belb/kbs/query.py:196-232): names used by
+    >1 identifier ACROSS >1 foreign key (e.g. same gene symbol in multiple
+    species). kb(identifier, name, foreign_identifier) ->
+    (name, n_identifiers, n_foreign)."""
+    return (
+        kb.groupBy("name")
+        .agg(
+            F.countDistinct("identifier").alias("n_identifiers"),
+            F.countDistinct("foreign_identifier").alias("n_foreign"),
+        )
+        .filter((F.col("n_identifiers") > 1) & (F.col("n_foreign") > 1))
+    )
+
+
+def attach_foreign_names(kb: DataFrame, foreign_kb: DataFrame) -> DataFrame:
+    """J5 cross-KB foreign join (belb/kbs/kb.py:572-661): resolve each row's
+    foreign_identifier through the foreign KB's history, then attach the
+    foreign KB's preferred name (description==0 row). The belb UPDATE-back
+    becomes an overwrite of the derived column (MERGE INTO on Iceberg).
+
+    kb(..., foreign_identifier) × foreign_kb(identifier, name, description
+    [, history via resolve_history beforehand]) -> kb + foreign_name.
+    """
+    preferred = F.broadcast(
+        foreign_kb.filter(F.col("description") == 0).select(
+            F.col("identifier").alias("_fid"), F.col("name").alias("foreign_name")
+        )
+    )
+    return kb.join(
+        preferred, kb["foreign_identifier"].cast("string") == preferred["_fid"].cast("string"), "left"
+    ).drop("_fid")
+
+
 def identifier_homonyms(synonym_dict: DataFrame) -> DataFrame:
     """identifiers with identical ordered synsets merge: min identifier
     becomes canonical, the rest map to it (A4, belb/kbs/query.py:97-194).

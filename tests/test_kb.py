@@ -90,6 +90,37 @@ def test_name_homonyms(spark):
     assert rows[0]["identifiers"] == [1, 2]
 
 
+def test_foreign_name_homonyms(spark):
+    from belb_spark.operators.kb import foreign_name_homonyms
+
+    kb = spark.createDataFrame(
+        [
+            (1, "tp53", 9606), (2, "tp53", 10090),   # same name, 2 species
+            (3, "unique", 9606),
+            (4, "same_fk", 9606), (5, "same_fk", 9606),  # 2 ids, 1 species
+        ],
+        "identifier int, name string, foreign_identifier int",
+    )
+    rows = foreign_name_homonyms(kb).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "tp53"
+
+
+def test_attach_foreign_names(spark):
+    from belb_spark.operators.kb import attach_foreign_names
+
+    kb = spark.createDataFrame(
+        [(1, "geneA", 9606), (2, "geneB", 777)],
+        "identifier int, name string, foreign_identifier int",
+    )
+    foreign = spark.createDataFrame(
+        [(9606, "homo sapiens", 0), (9606, "human", 1)],
+        "identifier int, name string, description int",
+    )
+    out = {r["identifier"]: r["foreign_name"] for r in attach_foreign_names(kb, foreign).collect()}
+    assert out[1] == "homo sapiens"   # preferred (description=0), not synonym
+    assert out[2] is None             # unknown fk observable, not dropped
+
+
 def test_identifier_homonyms_identical_synsets_merge(spark):
     sd = spark.createDataFrame(
         [
