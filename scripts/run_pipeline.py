@@ -27,6 +27,8 @@ def main() -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--master", default=None, help="e.g. local[8]; default env SPARK_GRAFT_CPUS")
     ap.add_argument("--f1-floor", type=float, default=0.99)
+    ap.add_argument("--tune", action="store_true", help="tune edge threshold on dev split")
+    ap.add_argument("--pairs-strategy", choices=["capped", "salted"], default="capped")
     args = ap.parse_args()
 
     from belb_spark import datagen
@@ -47,8 +49,11 @@ def main() -> int:
     syn = spark.read.parquet(str(data / "synonym_dict.parquet"))
     lp = spark.read.parquet(str(data / "labeled_pairs.parquet"))
 
+    from belb_spark.pipeline import ERConfig
+
+    er_cfg = ERConfig(tune_on_dev=args.tune, pairs_strategy=args.pairs_strategy)
     res = run_pipeline(
-        spark, repos, syn, lp, checkpoint_dir=args.checkpoint_dir
+        spark, repos, syn, lp, checkpoint_dir=args.checkpoint_dir, cfg=er_cfg
     )
     print(json.dumps({"scale": args.scale, **res.metrics}, default=str))
 
