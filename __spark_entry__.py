@@ -266,6 +266,45 @@ def q_group_similarity(spark, sf_dir):
     )
 
 
+def q_events_asof_prev(spark, sf_dir):
+    from belb_spark.operators.temporal import asof_prev_event
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = asof_prev_event(events, "user_id", "ts", ["value"])
+    return out.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"), "prev_value"
+    )
+
+
+def q_events_range_count(spark, sf_dir):
+    from belb_spark.operators.temporal import range_join_count
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = range_join_count(events, "user_id", "ts", 3600)
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("n_in_range").cast("long"),
+    )
+
+
+def q_events_asof_signup(spark, sf_dir):
+    from belb_spark.operators.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(events, signups, "user_id", "ts", "ts", ["signup_value"])
+    return out.select(
+        F.col("event_id").cast("long"),
+        F.col("user_id").cast("long"),
+        F.col("asof_signup_value").alias("signup_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": q_exact_dedup,
@@ -297,6 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "citations_grouping": q_citations_grouping,
         "doc_chunking": q_doc_chunking,
         "group_similarity_stats": q_group_similarity,
+        "events_asof_prev": q_events_asof_prev,
+        "events_range_count": q_events_range_count,
+        "events_asof_signup": q_events_asof_signup,
     }
 
 
@@ -662,6 +704,30 @@ SELECT a.lang, count(*)::BIGINT AS n_pairs,
 FROM top a JOIN top b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE a.rn <= 8 AND b.rn <= 8
 GROUP BY a.lang
+"""
+
+    sql["events_asof_prev"] = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, value) AS prev_value
+FROM events
+"""
+
+    sql["events_range_count"] = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                      RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)::BIGINT AS n_in_range
+FROM events
+"""
+
+    sql["events_asof_signup"] = """
+WITH signups AS (
+  SELECT user_id, ts, max(value) AS signup_value
+  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+)
+SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
+       s.signup_value
+FROM events e ASOF LEFT JOIN signups s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
 """
 
     return sql
