@@ -348,7 +348,9 @@ _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
 
 def _sh_cte(width: int) -> str:
-    """CTE fragment: per-doc distinct token shingles of given width."""
+    """CTE fragment: per-doc distinct token shingles of given width.
+    Short-doc semantics match shingles_col: 0 < n < width emits one
+    whole-text shingle; empty docs emit none."""
     parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(width))
     return f"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -356,6 +358,9 @@ sh AS (
   SELECT DISTINCT doc_id, {parts} AS s
   FROM toks, (SELECT unnest(range(1, 2000)) AS i) ix
   WHERE i <= len(t) - {width - 1}
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') AS s
+  FROM toks WHERE len(t) > 0 AND len(t) < {width}
 )"""
 
 
@@ -551,6 +556,9 @@ sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
   FROM toks, (SELECT unnest(range(1, 2000)) AS i) ix
   WHERE i <= len(t) - 3
+  UNION
+  SELECT doc_id, array_to_string(t, ' ') AS s
+  FROM toks WHERE len(t) > 0 AND len(t) < 4
 )
 SELECT doc_id::BIGINT AS doc_id, min(md5(s)) AS fingerprint FROM sh GROUP BY doc_id
 """

@@ -104,15 +104,24 @@ def make_band_keys_udf(cfg: BlockingConfig):
 
 def shingles_col(tokens: str | Column, width: int = 3) -> Column:
     """Distinct token n-gram shingles of an array<string> column, built with
-    ``sequence`` + higher-order ``transform`` (pure codegen, no explode)."""
+    ``sequence`` + higher-order ``transform`` (pure codegen, no explode).
+
+    Short-doc semantics (aligned with the Arrow band-key UDF above and the
+    DuckDB oracles): 0 < n < width emits ONE whole-text shingle; an empty
+    token array emits NO shingles. Grams are built with ``slice`` — never
+    ``element_at`` — so the expression is ANSI-safe (Spark 4 runs with ANSI
+    on, where an out-of-range element_at throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT on any doc shorter than the width).
+    """
     t = F.col(tokens) if isinstance(tokens, str) else tokens
     n = F.size(t)
     idx = F.sequence(F.lit(0), F.greatest(n - width, F.lit(0)))
     gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(width)]),
+        idx, lambda i: F.concat_ws(" ", F.slice(t, (i + 1).cast("int"), width))
     )
-    return F.array_distinct(gram)
+    return F.when(n > 0, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signature(shingles: Column, perms: int) -> Column:

@@ -238,16 +238,21 @@ def doc_chunking(spark: SparkSession, sf_dir: str, chunk: int = 20) -> DataFrame
     docs = load(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
+    # zero-token guard: n_chunks=0 would make sequence(0, -1) yield the
+    # DESCENDING array [0, -1] (two bogus empty chunks); the oracle emits no
+    # rows for empty docs, so neither do we
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i * chunk + 1).cast("int"), chunk)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, (i * chunk + 1).cast("int"), chunk)
-                ),
-            )
-        ).alias("chunk_idx", "chunk_text"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     ).select(
         F.col("doc_id").cast("long"),
         F.col("chunk_idx").cast("long"),

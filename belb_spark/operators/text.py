@@ -66,9 +66,11 @@ def doc_fingerprint(
 ) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over width-token shingles of the
     lowercased text (rolling-hash family, engine-portable).
-    Output (doc_id, fingerprint)."""
+    Output (doc_id, fingerprint). Docs shorter than ``width`` tokens
+    fingerprint their whole text (shingles_col short-doc semantics); docs
+    with NO tokens produce no row (matches the oracle's GROUP BY)."""
     sh = shingles_col(tokens_col(F.lower(F.col(text_col))), width)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
-    )
+    ).filter(F.col("fingerprint").isNotNull())
