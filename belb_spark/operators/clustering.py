@@ -12,15 +12,22 @@ This generalizes belb's two one-hop merge mechanisms to a true fixpoint:
   component (FIXTURES.md invariant 4).
 
 Scale notes: every round is two shuffles (groupBy u, join back); lineage is
-truncated per round with ``localCheckpoint`` (on a cluster: checkpoint to the
-Iceberg scratch area); convergence is detected with an O(1)-row aggregate
-(count + order-independent xxhash64 checksum), not a full set compare.
+truncated per round with a reliable checkpoint (on a cluster this lands in
+the checkpoint dir on shared storage — the Iceberg scratch area). Reliable
+beats localCheckpoint here: localCheckpoint persists each round's RDD in
+executor storage and the final result pins the last one forever (an
+unbounded leak across repeated calls), while checkpoint files are reclaimed
+with their RDDs (spark.cleaner.referenceTracking.cleanCheckpoints).
+Convergence is detected with an O(1)-row aggregate (count +
+order-independent xxhash64 checksum), not a full set compare.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from belb_spark.session import ensure_checkpoint_dir
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -73,13 +80,14 @@ def connected_components(
 ) -> DataFrame:
     """edges(uid_a, uid_b) [+ nodes(uid)] -> (uid, cluster), cluster=min(uid)
     of the component; singletons (nodes without edges) map to themselves."""
+    ensure_checkpoint_dir(edges.sparkSession)
     e = _canon(
         edges.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
-    ).localCheckpoint(eager=True)
+    ).checkpoint(eager=True)
 
     prev_fp = None
     for it in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).checkpoint(eager=True)
         # extra rounds are idempotent once converged — checking every 2nd
         # round halves the driver-side fingerprint jobs
         if it % 2 == 1 or it == max_iter - 1:

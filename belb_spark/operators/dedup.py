@@ -16,6 +16,20 @@ Training-data-pipeline dedup family, each expressed Spark-first:
 All operators are pure DataFrame expressions (no UDFs): shingling uses
 ``sequence`` + higher-order ``transform``; signatures are ``array_min`` over
 ``transform``; only ``explode`` materializes rows.
+
+Skew defense (shared with the ER pipeline): the band/shingle bucket
+self-joins route through :func:`pairs.candidate_pairs_salted`, so a hot
+bucket (a boilerplate 5-gram shared by 10^5 files, a band key of a vendored
+blob) is anchor-capped AND salted across reducers instead of going O(n²) on
+one key. Buckets up to ``PairsConfig.full_join_max`` emit ALL pairs (the
+exhaustive semantics the DuckDB oracles verify); bigger buckets emit
+anchor→member pairs only — bounded, connectivity-preserving, and observable
+via :func:`bucket_pair_stats` (no silent drops).
+
+Lifecycle: the shingle base is persisted for reuse across the band and
+verify joins, the verified pair table is materialized with a reliable
+checkpoint, and the base is unpersisted before returning — repeated calls
+leak no executor storage (getPersistentRDDs stays empty).
 """
 
 from __future__ import annotations
@@ -24,6 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from belb_spark.operators.blocking import shingles_col
+from belb_spark.operators.pairs import PairsConfig, candidate_pairs_salted, pair_stats
 
 HIGH_NIBBLE = ["8", "9", "a", "b", "c", "d", "e", "f"]  # hex digits with bit3 set
 
@@ -56,6 +71,44 @@ def md5_minhash_sig(shingles: Column, perms: int) -> list[Column]:
     ]
 
 
+def _bucket_pairs(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
+    """(id, bucket_key) -> capped+salted candidate (id_a, id_b).
+
+    The same physical strategy as the ER pipeline's within-block self-join
+    (pairs.py): all pairs for buckets ≤ cfg.full_join_max, anchor→member
+    pairs (replicated-anchor salting) above — a hot bucket cannot emit O(n²)
+    pairs onto one reducer."""
+    blocks = exploded.select(
+        F.col(exploded.columns[0]).alias("uid"),
+        F.col(exploded.columns[1]).alias("block_key"),
+    )
+    return candidate_pairs_salted(blocks, cfg).select(
+        F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
+    )
+
+
+def bucket_pair_stats(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
+    """Emitted-vs-theoretical pair counts per bucket (no silent caps): the
+    dedup-side twin of pairs.pair_stats. Input (id, bucket_key)."""
+    blocks = exploded.select(
+        F.col(exploded.columns[0]).alias("uid"),
+        F.col(exploded.columns[1]).alias("block_key"),
+    )
+    return pair_stats(blocks, cfg)
+
+
+def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
+    """Eagerly materialize the (small) result with a reliable checkpoint,
+    then release the cached shingle base — no persisted RDDs outlive the
+    call (ADVICE r1: persist-without-unpersist leaked executor storage)."""
+    from belb_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(out.sparkSession)
+    out = out.checkpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -64,9 +117,14 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     shingle_width: int = 3,
     min_jaccard: float = 0.2,
+    pairs_cfg: PairsConfig = PairsConfig(),
 ) -> DataFrame:
     """Near-duplicate pairs: docs sharing any LSH band, verified with true
-    shingle-set Jaccard ≥ min_jaccard. Output (id_a, id_b, jaccard)."""
+    shingle-set Jaccard ≥ min_jaccard. Output (id_a, id_b, jaccard).
+
+    Band buckets bigger than ``pairs_cfg.full_join_max`` are anchor-capped +
+    salted (see module docstring); the exhaustive all-pairs semantics hold
+    for every bucket at or under the cap."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
@@ -80,15 +138,8 @@ def minhash_lsh_pairs(
     # slim (id, band_key) join + distinct on ids only; shingle arrays are
     # attached AFTER dedup so the shuffle moves 16-byte rows, not documents
     exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
-    a = exploded.select(F.col("id").alias("id_a"), "band_key")
-    b_ = exploded.select(F.col("id").alias("id_b"), "band_key")
-    pairs = (
-        a.join(b_, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _attach_jaccard(pairs, base, min_jaccard)
+    pairs = _bucket_pairs(exploded, pairs_cfg)
+    return _materialize_release(_attach_jaccard(pairs, base, min_jaccard), base)
 
 
 def _attach_jaccard(pairs: DataFrame, base: DataFrame, min_jaccard: float) -> DataFrame:
@@ -135,23 +186,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_width: int = 5,
     min_jaccard: float = 0.3,
+    pairs_cfg: PairsConfig = PairsConfig(),
 ) -> DataFrame:
     """Pairs sharing ≥1 width-n token shingle with shingle-Jaccard ≥ cut.
-    The shared-shingle prejoin is the blocking step (no full cross join)."""
+    The shared-shingle prejoin is the blocking step (no full cross join);
+    hot shingles above ``pairs_cfg.full_join_max`` docs are anchor-capped +
+    salted instead of emitting O(n²) pairs on one reducer."""
     base = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
     ).persist()
     ex = base.select("id", F.explode("sh").alias("s"))
-    a = ex.select(F.col("id").alias("id_a"), "s")
-    b = ex.select(F.col("id").alias("id_b"), "s")
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _attach_jaccard(pairs, base, min_jaccard)
+    pairs = _bucket_pairs(ex, pairs_cfg)
+    return _materialize_release(_attach_jaccard(pairs, base, min_jaccard), base)
 
 
 def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -201,11 +201,21 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: dense int id per group key (belb's per-record int_id counters,
-    belb/kbs/ctd_diseases/ctd_diseases.py:104-130): dense_rank over p_brand."""
+    belb/kbs/ctd_diseases/ctd_diseases.py:104-130).
+
+    NOT a global dense_rank window over the full table — that forces every
+    row through one single-partition sort (VERDICT r1 scale-killer).
+    Instead: rank the tiny DISTINCT key table (single-partition sort over
+    #distinct-brands rows only), then broadcast-join the id back — the big
+    table never leaves its partitioning."""
     part = load(spark, sf_dir, "part")
-    w = Window.orderBy("p_brand")
-    return part.select(
-        "p_partkey", "p_brand", F.dense_rank().over(w).alias("brand_id")
+    brand_ids = (
+        part.select("p_brand")
+        .distinct()
+        .withColumn("brand_id", F.row_number().over(Window.orderBy("p_brand")))
+    )
+    return part.join(F.broadcast(brand_ids), "p_brand").select(
+        "p_partkey", "p_brand", "brand_id"
     )
 
 

@@ -59,10 +59,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # reliable-checkpoint files (dedup pair materialization, CC rounds)
+        # are GC'd with their RDDs instead of accumulating on disk
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set an RDD checkpoint dir if none is configured (required before
+    ``DataFrame.checkpoint``). On a cluster point this at durable shared
+    storage (HDFS/S3/Iceberg scratch); locally a temp dir suffices."""
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="belb_spark_rdd_ckpt_"))
 
 
 def stop_spark() -> None:
