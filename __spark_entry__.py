@@ -32,7 +32,12 @@ from belb_spark.operators.dedup import (
     simhash16,
     synset_clusters,
 )
-from belb_spark.operators.similarity import cosine_topk, srp_lsh_buckets, srp_weights
+from belb_spark.operators.similarity import (
+    cosine_topk,
+    srp_ann_topk,
+    srp_lsh_buckets,
+    srp_weights,
+)
 from belb_spark.operators.text import (
     doc_fingerprint,
     lang_id_heuristic,
@@ -128,6 +133,76 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_srp_buckets(spark, sf_dir):
     out = srp_lsh_buckets(_emb(spark, sf_dir), n_planes=8, dim=64)
     return out.select(F.col("vec_id").cast("long"), F.col("bucket").cast("long"))
+
+
+def q_srp_ann_topk(spark, sf_dir):
+    """ANN search path: SRP bucket-equi-join candidates, exact cosine
+    re-rank within the bucket (similarity.py srp_ann_topk)."""
+    emb = _emb(spark, sf_dir)
+    out = srp_ann_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=8,
+        dim=64,
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("rank").cast("long"),
+        "cosine",
+    )
+
+
+def _overlap_frames(spark, sf_dir):
+    """Clicks as 600s intervals, signups as 3600s intervals, per user."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = F.unix_timestamp("ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        sec.alias("c_start"),
+        (sec + 600).alias("c_end"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        sec.alias("s_start"),
+        (sec + 3600).alias("s_end"),
+    )
+    return clicks, signups
+
+
+def q_events_overlap_join(spark, sf_dir):
+    """J7 literal interval-overlap join (range-bucketed equi-join path)."""
+    from belb_spark.operators.temporal import overlap_join
+
+    clicks, signups = _overlap_frames(spark, sf_dir)
+    out = overlap_join(
+        clicks, signups, "user_id", "c_start", "c_end", "s_start", "s_end",
+        bucket_size=1800,
+    )
+    return out.select(
+        F.col("click_id").cast("long"),
+        F.col("signup_id").cast("long"),
+        (F.least("c_end", "s_end") - F.greatest("c_start", "s_start"))
+        .cast("long")
+        .alias("overlap_sec"),
+    )
+
+
+def q_events_overlap_anti(spark, sf_dir):
+    """U3 overlap-based subtraction: clicks no signup window touches."""
+    from belb_spark.operators.temporal import overlap_anti_join
+
+    clicks, signups = _overlap_frames(spark, sf_dir)
+    out = overlap_anti_join(
+        clicks, signups, "user_id", "c_start", "c_end", "s_start", "s_end",
+        bucket_size=1800,
+    )
+    return out.select(
+        F.col("click_id").cast("long"), F.col("user_id").cast("long")
+    )
 
 
 def q_text_quality(spark, sf_dir):
@@ -315,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_buckets": q_srp_buckets,
+        "ann_srp_topk": q_srp_ann_topk,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_token_counts": q_token_counts,
@@ -339,6 +415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_prev": q_events_asof_prev,
         "events_range_count": q_events_range_count,
         "events_asof_signup": q_events_asof_signup,
+        "events_overlap_join": q_events_overlap_join,
+        "events_overlap_anti": q_events_overlap_anti,
     }
 
 
@@ -461,7 +539,7 @@ SELECT doc_id::BIGINT AS doc_id, ({bits})::BIGINT AS simhash FROM sums
 """
 
 
-def _srp_sql() -> str:
+def _srp_bucket_expr() -> str:
     ws = srp_weights(8, 64)
     terms = []
     for p, w in enumerate(ws):
@@ -470,8 +548,42 @@ def _srp_sql() -> str:
             f"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), {arr}) >= 0 "
             f"THEN {1 << p} ELSE 0 END)"
         )
-    expr = " + ".join(terms)
-    return f"SELECT vec_id::BIGINT AS vec_id, ({expr})::BIGINT AS bucket FROM embeddings"
+    return " + ".join(terms)
+
+
+def _srp_sql() -> str:
+    return (
+        f"SELECT vec_id::BIGINT AS vec_id, ({_srp_bucket_expr()})::BIGINT AS bucket "
+        "FROM embeddings"
+    )
+
+
+def _srp_topk_sql() -> str:
+    """SRP-ANN oracle: bucket both sides with the same hyperplanes, join on
+    bucket, exact-cosine re-rank within the bucket."""
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_srp_bucket_expr()}) AS bucket
+  FROM embeddings
+),
+c AS (SELECT * FROM b WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+s AS (
+  SELECT query_id, c.vec_id,
+         round(list_inner_product(v, qv) /
+               (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv))), 3) AS cosine
+  FROM c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, cosine
+FROM r WHERE rank <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -521,6 +633,7 @@ FROM r WHERE rank <= 5
 """
 
     sql["ann_srp_buckets"] = _srp_sql()
+    sql["ann_srp_topk"] = _srp_topk_sql()
 
     sql["text_quality"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents)
@@ -725,6 +838,41 @@ SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id,
        count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
                       RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)::BIGINT AS n_in_range
 FROM events
+"""
+
+    sql["events_overlap_join"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         floor(epoch(ts))::BIGINT AS c_start, floor(epoch(ts))::BIGINT + 600 AS c_end
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT event_id AS signup_id, user_id,
+         floor(epoch(ts))::BIGINT AS s_start, floor(epoch(ts))::BIGINT + 3600 AS s_end
+  FROM events WHERE event_type = 'signup'
+)
+SELECT c.click_id::BIGINT AS click_id, s.signup_id::BIGINT AS signup_id,
+       (least(c.c_end, s.s_end) - greatest(c.c_start, s.s_start))::BIGINT AS overlap_sec
+FROM c JOIN s ON c.user_id = s.user_id
+               AND c.c_start < s.s_end AND s.s_start < c.c_end
+"""
+
+    sql["events_overlap_anti"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id,
+         floor(epoch(ts))::BIGINT AS c_start, floor(epoch(ts))::BIGINT + 600 AS c_end
+  FROM events WHERE event_type = 'click'
+),
+s AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT AS s_start, floor(epoch(ts))::BIGINT + 3600 AS s_end
+  FROM events WHERE event_type = 'signup'
+)
+SELECT c.click_id::BIGINT AS click_id, c.user_id::BIGINT AS user_id
+FROM c WHERE NOT EXISTS (
+  SELECT 1 FROM s WHERE s.user_id = c.user_id
+    AND c.c_start < s.s_end AND s.s_start < c.c_end
+)
 """
 
     sql["events_asof_signup"] = """

@@ -45,12 +45,38 @@ def config_signature(obj: Any) -> str:
     ).hexdigest()
 
 
+def input_fingerprint(df: DataFrame) -> str:
+    """Cheap input identity for resume signatures (ADVICE r1: a signature
+    over config alone silently reuses stale stage parquet when the input
+    changed under the same checkpoint_dir): the sorted source-file list with
+    sizes, straight from the plan — no Spark job. DataFrames with no input
+    files (in-memory) fingerprint as ``inmem``; callers pairing those with a
+    persistent checkpoint_dir own invalidation themselves."""
+    import os
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return "inmem"
+    parts = []
+    for f in files:
+        path = f[len("file:") :] if f.startswith("file:") else f
+        try:
+            parts.append(f"{f}:{os.path.getsize(path)}")
+        except OSError:
+            parts.append(f)
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 @dataclass
 class StageResult:
     df: DataFrame
     rows: int
     resumed: bool
     wall_sec: float
+    # per-partition-directory row counts (e.g. {"src=exact": 629}) when the
+    # stage was written with partition_by — row-count metrics per slice come
+    # from parquet footers, never from an extra count() job
+    partition_rows: dict[str, int] = field(default_factory=dict)
 
 
 class CheckpointStore:
@@ -69,6 +95,7 @@ class CheckpointStore:
         signature: str,
         build: Callable[[], DataFrame],
         extra_metrics: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
     ) -> StageResult:
         data_dir, manifest_path = self._paths(name)
         t0 = time.time()
@@ -76,7 +103,13 @@ class CheckpointStore:
             manifest = json.loads(manifest_path.read_text())
             if manifest.get("signature") == signature:
                 df = self.spark.read.parquet(str(data_dir))
-                res = StageResult(df, manifest["rows"], True, time.time() - t0)
+                res = StageResult(
+                    df,
+                    manifest["rows"],
+                    True,
+                    time.time() - t0,
+                    manifest.get("partition_rows", {}),
+                )
                 self.log.append({"stage": name, "resumed": True, **manifest})
                 return res
             # stale signature: rebuild from scratch
@@ -85,7 +118,10 @@ class CheckpointStore:
 
         df = build()
         shutil.rmtree(data_dir, ignore_errors=True)
-        df.write.mode("overwrite").parquet(str(data_dir))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(data_dir))
         out = self.spark.read.parquet(str(data_dir))
         # row counts + per-partition lineage straight from parquet footers —
         # no extra Spark job per stage
@@ -93,21 +129,27 @@ class CheckpointStore:
 
         lineage = []
         rows = 0
-        for p in sorted(data_dir.glob("*.parquet")):
+        partition_rows: dict[str, int] = {}
+        for p in sorted(data_dir.rglob("*.parquet")):
             n = pq.ParquetFile(p).metadata.num_rows
             rows += n
-            lineage.append({"file": p.name, "bytes": p.stat().st_size, "rows": n})
+            rel = p.relative_to(data_dir)
+            lineage.append({"file": str(rel), "bytes": p.stat().st_size, "rows": n})
+            if len(rel.parts) > 1:  # partitioned layout: key=value dirs
+                key = "/".join(rel.parts[:-1])
+                partition_rows[key] = partition_rows.get(key, 0) + n
         manifest = {
             "signature": signature,
             "rows": rows,
             "partitions": lineage,
+            "partition_rows": partition_rows,
             "metrics": extra_metrics or {},
             "committed_at": time.time(),
             "wall_sec": time.time() - t0,
         }
         manifest_path.write_text(json.dumps(manifest, indent=2))
         self.log.append({"stage": name, "resumed": False, **manifest})
-        return StageResult(out, rows, False, time.time() - t0)
+        return StageResult(out, rows, False, time.time() - t0, partition_rows)
 
     def invalidate(self, name: str) -> None:
         data_dir, manifest_path = self._paths(name)

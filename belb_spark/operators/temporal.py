@@ -1,4 +1,5 @@
-"""Temporal join operators: as-of join and bounded range join.
+"""Temporal/interval join operators: as-of join, bounded range join, and the
+literal interval-overlap join + overlap-based subtraction.
 
 Spark has no native ASOF JOIN; these are the standard compositions
 (SURVEY.md §2.4 J7 interval-overlap family — belb's foreign-annotation
@@ -15,6 +16,14 @@ overlap join, belb/preprocessing/data.py:549-580, generalized to time):
   bounded preceding interval: a ``rangeBetween`` window over epoch seconds
   (pure window, no self-join) — at scale this beats the naive range
   self-join by orders of magnitude.
+- :func:`overlap_join` / :func:`overlap_anti_join` — the literal J7/U3
+  predicate ``l.start < r.end AND r.start < l.end`` on a shared key
+  (belb/preprocessing/data.py:549-580: attach foreign annotations that
+  overlap a span; subtract annotations overlapped by foreign ones). Scale
+  path: each interval is replicated to its covering range buckets and the
+  join runs as a (key, bucket) EQUI-join + predicate — a key whose spans
+  cover a long range no longer lands on one reducer, and Catalyst gets a
+  hash join instead of a broadcast-nested-loop over an inequality.
 """
 
 from __future__ import annotations
@@ -76,6 +85,69 @@ def asof_join(
     return out.select(
         F.col("_lrow.*"), *[F.col(f"asof_{c}") for c in right_vals]
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """Half-open interval-overlap join on a shared key:
+    ``l_start < r_end AND r_start < l_end`` (belb's foreign-annotation
+    overlap, belb/preprocessing/data.py:549-580).
+
+    Column names of ``left`` and ``right`` must be disjoint apart from
+    ``key``. Empty intervals (end ≤ start) overlap nothing and are dropped.
+
+    With ``bucket_size``, each interval explodes to its covering range
+    buckets and the join is a (key, bucket) equi-join + predicate; a pair
+    overlapping in k buckets is deduped with ``distinct`` — output rows must
+    therefore be distinct, which holds for id-carrying span tables.
+    """
+    l = left.filter(F.col(l_end) > F.col(l_start))
+    r = right.filter(F.col(r_end) > F.col(r_start))
+    pred = (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+    if bucket_size is None:
+        return l.join(r, key).filter(pred)
+    b = F.lit(int(bucket_size))
+    lb = l.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.floor(F.col(l_start) / b), F.floor((F.col(l_end) - 1) / b))
+        ),
+    )
+    rb = r.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(F.floor(F.col(r_start) / b), F.floor((F.col(r_end) - 1) / b))
+        ),
+    )
+    return lb.join(rb, [key, "_bucket"]).filter(pred).drop("_bucket").distinct()
+
+
+def overlap_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_size: int | None = None,
+) -> DataFrame:
+    """Overlap-based subtraction (U3): left rows with NO overlapping right
+    interval on the same key — belb's 'drop annotations overlapped by a
+    foreign annotation' (belb/preprocessing/data.py:563-580). Left rows with
+    empty intervals (end ≤ start) overlap nothing and are kept."""
+    matched = overlap_join(
+        left, right, key, l_start, l_end, r_start, r_end, bucket_size
+    ).select(key, l_start, l_end).distinct()
+    return left.join(matched, [key, l_start, l_end], "left_anti")
 
 
 def range_join_count(

@@ -18,7 +18,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from belb_spark.checkpoint import CheckpointStore, config_signature
+from belb_spark.checkpoint import CheckpointStore, config_signature, input_fingerprint
 from belb_spark.operators.blocking import BlockingConfig, block_keys
 from belb_spark.operators.clustering import connected_components
 from belb_spark.operators.evaluate import metrics_dict, pairwise_metrics
@@ -66,7 +66,12 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     cfg: ERConfig = ERConfig(),
 ) -> ERResult:
-    sig = config_signature(dataclasses.asdict(cfg))
+    # the resume signature covers config AND input identity: re-running the
+    # same checkpoint_dir over changed input rebuilds instead of silently
+    # reusing stale stage parquet (ADVICE r1)
+    sig = config_signature(
+        {"cfg": dataclasses.asdict(cfg), "input": input_fingerprint(repos)}
+    )
     metrics: dict[str, Any] = {}
 
     if checkpoint_dir is None:
@@ -101,18 +106,9 @@ def run_pipeline(
     blocks = blocks_res.df
     metrics["block_rows"] = blocks_res.rows
 
-    # 3. candidate pairs (+ exact-dup edges, logged drop stats)
-    stats = pair_stats(blocks, cfg.pairs).agg(
-        F.sum("pairs_theoretical").alias("theoretical"),
-        F.sum("pairs_emitted").alias("emitted"),
-        F.max("block_size").alias("max_block"),
-    ).collect()[0]
-    metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)
-    metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
-    metrics["max_block_size"] = int(stats["max_block"] or 0)
-
-    # one checkpoint for both pair families: block candidates (to be scored)
-    # and ready exact-duplicate star edges (score 1.0 by construction)
+    # 3. candidate pairs (+ exact-dup edges, logged drop stats).
+    # One checkpoint for both pair families: block candidates (to be scored)
+    # and ready exact-duplicate star edges (score 1.0 by construction).
     def build_candidates() -> DataFrame:
         if cfg.pairs_strategy == "salted":
             from belb_spark.operators.pairs import candidate_pairs_salted
@@ -129,10 +125,32 @@ def run_pipeline(
         )
         return blk_only.unionByName(exact)
 
-    cand_res = store.run("03_candidates", sig, build_candidates)
+    # drop-stats aggregate (no silent caps) runs on a parallel driver
+    # thread, overlapped with the candidates build instead of serializing
+    # the critical path with its own job (VERDICT r1: per-stage driver
+    # actions dominated the fixed cost at small input)
+    from concurrent.futures import ThreadPoolExecutor
+
+    stats_df = pair_stats(blocks, cfg.pairs).agg(
+        F.sum("pairs_theoretical").alias("theoretical"),
+        F.sum("pairs_emitted").alias("emitted"),
+        F.max("block_size").alias("max_block"),
+    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        stats_future = pool.submit(lambda: stats_df.collect()[0])
+        # partitioned by src so per-family row counts come from the manifest
+        # (parquet footers) — no count() jobs
+        cand_res = store.run(
+            "03_candidates", sig, build_candidates, partition_by=["src"]
+        )
+    stats = stats_future.result()
+    metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)
+    metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
+    metrics["max_block_size"] = int(stats["max_block"] or 0)
+
     exact_edges = cand_res.df.filter(F.col("src") == "exact").select("uid_a", "uid_b")
     block_pairs = cand_res.df.filter(F.col("src") == "block").select("uid_a", "uid_b")
-    n_exact = exact_edges.count()
+    n_exact = cand_res.partition_rows.get("src=exact", 0)
     metrics["exact_dup_edges"] = n_exact
     metrics["candidate_pairs"] = cand_res.rows - n_exact
 

@@ -38,6 +38,68 @@ def test_rich_score_batch_bounds():
     assert 0.0 <= s[1] < 0.5
 
 
+def _random_cases(n=300, seed=7):
+    import random
+
+    random.seed(seed)
+    ch = "abcdefg _"
+    cases = []
+    for _ in range(n):
+        s1 = "".join(random.choice(ch) for _ in range(random.randint(0, 120)))
+        if random.random() < 0.5:  # near-dup perturbation
+            l = list(s1)
+            for _ in range(random.randint(0, 8)):
+                if l:
+                    l[random.randrange(len(l))] = random.choice(ch)
+            s2 = "".join(l)
+        else:
+            s2 = "".join(random.choice(ch) for _ in range(random.randint(0, 120)))
+        cases.append((s1, s2))
+    cases += [("", ""), ("", "abc"), ("abc", ""), ("MARTHA", "MARHTA"),
+              ("DWAYNE", "DUANE"), ("abc", "abc"), ("abc", "xyz")]
+    return cases
+
+
+def test_batch_kernels_match_scalar_reference():
+    """The numpy batch kernels ARE the scorer; the scalar functions are the
+    tested reference. They must agree exactly (same float operations)."""
+    cases = _random_cases()
+    s1 = [a[:96] for a, _ in cases]
+    s2 = [b[:96] for _, b in cases]
+    jw = simfns.jaro_winkler_batch(s1, s2)
+    for i, (a, b) in enumerate(cases):
+        assert jw[i] == pytest.approx(simfns.jaro_winkler(a[:96], b[:96]), abs=1e-12)
+
+    t1 = [a.split(" ") for a, _ in cases]
+    t2 = [b.split(" ") for _, b in cases]
+    lev = simfns.levenshtein_norm_batch(t1, t2)
+    for i in range(len(cases)):
+        assert lev[i] == pytest.approx(simfns.levenshtein_norm(t1[i], t2[i]), abs=1e-12)
+
+    for a, b in cases:
+        assert simfns.char_ngram_cosine_np(a, b) == pytest.approx(
+            simfns.char_ngram_cosine(a, b), abs=1e-9
+        )
+
+
+def test_rich_score_batch_matches_scalar_composition():
+    cases = _random_cases(n=120, seed=13)
+    a = pd.Series([x for x, _ in cases])
+    b = pd.Series([y for _, y in cases])
+    got = simfns.rich_score_batch(a, b, 0.25, 0.35, 0.40, 600)
+    for i, (s1, s2) in enumerate(cases):
+        if s1 == s2:
+            want = 1.0
+        else:
+            c1, c2 = s1[:600], s2[:600]
+            want = (
+                0.25 * simfns.jaro_winkler(s1[:96], s2[:96])
+                + 0.35 * simfns.levenshtein_norm(c1.split(" "), c2.split(" "))
+                + 0.40 * simfns.char_ngram_cosine(c1, c2)
+            )
+        assert got[i] == pytest.approx(want, abs=1e-9)
+
+
 def test_token_jaccard_spark(spark):
     df = spark.createDataFrame(
         [(["a", "b", "c"], ["b", "c", "d"]), (["a"], ["a"])], "ta array<string>, tb array<string>"

@@ -1,0 +1,174 @@
+"""Span-preserving transform invariants (T1-T3, VERDICT r1 #6).
+
+Fixtures include glued (intra-word), nested, overlapping, boundary-touching
+and span-less docs. Invariants mirror the reference's QAQC contract
+(belb/preprocessing/qaqc.py:27-58, clean.py:228-231):
+- offsets: text[start:end] == span_text after every transform
+- length conservation: len(new) == len(old) + inserted
+- marker-stripping recovers the original text and span text
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from belb_spark.operators.spans import (
+    MARK_END,
+    MARK_START,
+    assign_spans_to_sentences,
+    check_span_offsets,
+    clean_intra_word_spans,
+    mark_spans,
+    split_sentences,
+)
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the IL6alpha gene. it binds TNFbeta complex",  # glued spans
+            "plain sentence with no spans at all",
+            "abc XY nested YZ def",          # nested + overlapping spans
+            "edge ends here",
+        ],
+    }
+)
+# span fixture: (doc_id, span_id, start, end)
+SPANS = pd.DataFrame(
+    [
+        (1, 10, 4, 7),     # 'IL6' glued right to 'alpha'
+        (1, 11, 28, 35),   # 'TNFbeta' standalone word -> not IWM
+        (3, 30, 4, 16),    # 'XY nested YZ' outer
+        (3, 31, 4, 6),     # 'XY' nested, same start as outer
+        (3, 32, 14, 16),   # 'YZ' nested, same end as outer
+        (4, 40, 10, 14),   # 'here' ends at text end
+    ],
+    columns=["doc_id", "span_id", "start", "end"],
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    docs = spark.createDataFrame(DOCS)
+    spans = spark.createDataFrame(SPANS)
+    return docs, spans
+
+
+def _collect(df):
+    return {int(r["span_id"]): r for r in df.filter(F.col("span_id").isNotNull()).collect()}
+
+
+def test_clean_iwm_invariants(frames):
+    docs, spans = frames
+    out = clean_intra_word_spans(docs, spans)
+    assert check_span_offsets(out) == 0
+    rows = _collect(out)
+    # glued span separated; span text unchanged
+    assert rows[10]["span_text"] == "IL6"
+    t1 = rows[10]["text"]
+    assert t1 == "the IL6 alpha gene. it binds TNFbeta complex"
+    assert len(t1) == len(DOCS["text"][0]) + int(rows[10]["n_inserts"])
+    # non-IWM span untouched
+    assert rows[11]["span_text"] == "TNFbeta"
+    assert t1[rows[11]["start"]:rows[11]["end"]] == "TNFbeta"
+    # span-less doc passes through unchanged
+    passthrough = out.filter(F.col("doc_id") == 2).collect()
+    assert len(passthrough) == 1 and passthrough[0]["text"] == DOCS["text"][1]
+
+
+def test_clean_iwm_idempotent(frames, spark):
+    docs, spans = frames
+    once = clean_intra_word_spans(docs, spans)
+    docs2 = once.select("doc_id", "text").dropDuplicates(["doc_id"])
+    spans2 = once.filter(F.col("span_id").isNotNull()).select(
+        "doc_id", "span_id", "start", "end"
+    )
+    twice = clean_intra_word_spans(docs2, spans2)
+    assert check_span_offsets(twice) == 0
+    assert twice.agg(F.sum("n_inserts")).collect()[0][0] == 0  # nothing left to fix
+
+
+def test_mark_spans_invariants(frames):
+    docs, spans = frames
+    out = mark_spans(docs, spans)
+    assert check_span_offsets(out) == 0   # offsets point at marked text
+    rows = _collect(out)
+    # marker-stripping recovers original span text, nested markers included
+    def strip(s):
+        return s.replace(MARK_START, "").replace(MARK_END, "")
+    assert strip(rows[30]["span_text"]) == "XY nested YZ"
+    assert rows[31]["span_text"] == "XY"         # innermost: no embedded markers
+    assert rows[32]["span_text"] == "YZ"
+    # whole-doc: stripping all markers recovers the original text
+    for doc_id, orig in zip(DOCS["doc_id"], DOCS["text"]):
+        t = out.filter(F.col("doc_id") == int(doc_id)).select("text").first()["text"]
+        assert strip(t) == orig
+    # nested same-start: outer opens first -> outer span starts at its own
+    # marker's end, inner after outer's marker + its own
+    assert rows[30]["start"] < rows[31]["start"]
+    # span ending at end-of-text
+    assert rows[40]["span_text"] == "here"
+
+
+def test_mark_spans_length_conservation(frames):
+    docs, spans = frames
+    out = mark_spans(docs, spans)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.first(F.length("text")).alias("new_len"),
+            F.first("n_inserts").alias("n"),
+            F.count(F.col("span_id")).alias("n_spans"),
+        )
+        .collect()
+    )
+    orig = dict(zip(DOCS["doc_id"], DOCS["text"]))
+    for r in per_doc:
+        marker_len = len(MARK_START) + len(MARK_END)
+        assert r["new_len"] == len(orig[r["doc_id"]]) + r["n_spans"] * marker_len
+
+
+def test_split_sentences_merges_over_spans(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["first part. second ver. 2 part. third part"],
+            }
+        )
+    )
+    # span covering 'ver. 2' (chars 19-25) -> that boundary must not split
+    spans = spark.createDataFrame(
+        pd.DataFrame([(1, 1, 19, 25)], columns=["doc_id", "span_id", "start", "end"])
+    )
+    no_spans = split_sentences(docs)
+    with_spans = split_sentences(docs, spans)
+    assert no_spans.count() == 4          # naive split cuts inside the span
+    rows = sorted(
+        with_spans.collect(), key=lambda r: r["sent_id"]
+    )
+    assert [r["sent_text"] for r in rows] == [
+        "first part.", "second ver. 2 part.", "third part",
+    ]
+    # doc-offset contract: text[sent_start:sent_end] == sent_text
+    text = docs.first()["text"]
+    for r in rows:
+        assert text[r["sent_start"]:r["sent_end"]] == r["sent_text"]
+    # containment join assigns the span to the merged sentence
+    assigned = assign_spans_to_sentences(with_spans, spans).collect()
+    assert len(assigned) == 1
+    a = assigned[0]
+    assert a["sent_id"] == 1
+    sent = rows[1]["sent_text"]
+    assert sent[a["local_start"]:a["local_end"]] == "ver. 2"
+
+
+def test_rewrite_is_single_python_stage(frames):
+    from belb_spark.plans import plan_string
+
+    docs, spans = frames
+    out = clean_intra_word_spans(docs, spans)
+    s = plan_string(out, "simple")
+    assert s.count("FlatMapGroupsInPandas") == 1
