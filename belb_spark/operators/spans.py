@@ -38,13 +38,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-OUT_SCHEMA = (
-    "doc_id long, span_id long, start long, end long, span_text string, "
-    "text string, n_inserts long"
-)
-
 MARK_START = "[MS] "
 MARK_END = " [ME]"
+
+
+def _out_schema(joined: DataFrame) -> str:
+    """Rewrite output schema; doc_id keeps the caller's type (long ids from
+    datagen, string ids from BioC collections)."""
+    t = dict(joined.dtypes)["doc_id"]
+    return (
+        f"doc_id {t}, span_id long, start long, end long, span_text string, "
+        "text string, n_inserts long"
+    )
 
 
 def _joined(docs: DataFrame, spans: DataFrame) -> DataFrame:
@@ -125,7 +130,8 @@ def clean_intra_word_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
                           "text", "n_inserts"]
         )
 
-    return _joined(docs, spans).groupBy("doc_id").applyInPandas(rewrite, OUT_SCHEMA)
+    j = _joined(docs, spans)
+    return j.groupBy("doc_id").applyInPandas(rewrite, _out_schema(j))
 
 
 def mark_spans(
@@ -180,10 +186,11 @@ def mark_spans(
                           "text", "n_inserts"]
         )
 
-    return _joined(docs, spans).groupBy("doc_id").applyInPandas(rewrite, OUT_SCHEMA)
+    j = _joined(docs, spans)
+    return j.groupBy("doc_id").applyInPandas(rewrite, _out_schema(j))
 
 
-SENT_SCHEMA = "doc_id long, sent_id long, sent_start long, sent_end long, sent_text string"
+SENT_COLS = "sent_id long, sent_start long, sent_end long, sent_text string"
 _BOUNDARY = (".", "!", "?")
 
 
@@ -230,7 +237,8 @@ def split_sentences(docs: DataFrame, spans: DataFrame | None = None) -> DataFram
             out, columns=["doc_id", "sent_id", "sent_start", "sent_end", "sent_text"]
         )
 
-    return joined.groupBy("doc_id").applyInPandas(segment, SENT_SCHEMA)
+    dt = dict(joined.dtypes)["doc_id"]
+    return joined.groupBy("doc_id").applyInPandas(segment, f"doc_id {dt}, {SENT_COLS}")
 
 
 def assign_spans_to_sentences(sentences: DataFrame, spans: DataFrame) -> DataFrame:

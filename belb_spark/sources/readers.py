@@ -16,6 +16,11 @@ format is bespoke:
   a ``\\n\\n`` delimiter
 - S5 JSON-lines scan                  -> ``spark.read.json`` with explicit
   schema (no sampling pass at scale)
+- S8 BioC document scan               -> ``read_bioc`` (XML via stdlib
+  ElementTree, JSON via stdlib json — no spark-xml in this sandbox) parsed
+  inside ``mapInPandas``: one collection file per task, flattened straight
+  into the (docs, spans)-shaped passage/annotation tables the span
+  operators (operators/spans.py) consume
 """
 
 from __future__ import annotations
@@ -91,6 +96,124 @@ def parse_kv_records(records: DataFrame, kv_sep: str = r"\s+") -> DataFrame:
         F.trim(F.regexp_replace("line", r"^\S+\s*", "")).alias("v"),
     )
     return kv.groupBy("rid", "k").agg(F.collect_list("v").alias("vals"))
+
+
+BIOC_SCHEMA = (
+    "doc_id string, passage_idx long, offset long, text string, "
+    "annotations array<struct<ann_id:string, start:long, end:long, "
+    "text:string, entity_type:string>>"
+)
+
+
+def read_bioc(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """BioC collection scan (belb S8 — the reference's corpus serialization,
+    belb/corpora/corpus.py:171-180 write, :759-765 read via biocjson; BioC
+    XML is the interchange format corpora ship in).
+
+    One row per passage: (doc_id, passage_idx, offset, text, annotations)
+    with annotation offsets kept DOCUMENT-absolute as BioC defines them
+    (location offset + length). Collections are whole-file documents, so the
+    unit of parallelism is the file (``wholetext`` scan + mapInPandas) —
+    shard big corpora into many collection files, exactly how the reference
+    writes one collection per split.
+    """
+
+    def parse(iterator):
+        import json as _json
+        import xml.etree.ElementTree as ET
+
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for content in pdf["value"]:
+                if fmt == "xml":
+                    root = ET.fromstring(content)
+                    for doc in root.iter("document"):
+                        doc_id = doc.findtext("id")
+                        for pi, p in enumerate(doc.iter("passage")):
+                            anns = []
+                            for a in p.iter("annotation"):
+                                loc = a.find("location")
+                                start = int(loc.get("offset"))
+                                length = int(loc.get("length"))
+                                etype = None
+                                for inf in a.iter("infon"):
+                                    if inf.get("key") == "type":
+                                        etype = inf.text
+                                anns.append(
+                                    {
+                                        "ann_id": a.get("id"),
+                                        "start": start,
+                                        "end": start + length,
+                                        "text": a.findtext("text"),
+                                        "entity_type": etype,
+                                    }
+                                )
+                            rows.append(
+                                (
+                                    doc_id,
+                                    pi,
+                                    int(p.findtext("offset") or 0),
+                                    p.findtext("text") or "",
+                                    anns,
+                                )
+                            )
+                else:
+                    coll = _json.loads(content)
+                    for doc in coll.get("documents", []):
+                        for pi, p in enumerate(doc.get("passages", [])):
+                            anns = []
+                            for a in p.get("annotations", []):
+                                loc = a["locations"][0]
+                                anns.append(
+                                    {
+                                        "ann_id": str(a.get("id")),
+                                        "start": int(loc["offset"]),
+                                        "end": int(loc["offset"]) + int(loc["length"]),
+                                        "text": a.get("text"),
+                                        "entity_type": (a.get("infons") or {}).get("type"),
+                                    }
+                                )
+                            rows.append(
+                                (
+                                    str(doc.get("id")),
+                                    pi,
+                                    int(p.get("offset", 0)),
+                                    p.get("text") or "",
+                                    anns,
+                                )
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "passage_idx", "offset", "text", "annotations"],
+            )
+
+    raw = spark.read.text(path, wholetext=True)
+    return raw.mapInPandas(parse, BIOC_SCHEMA)
+
+
+def bioc_to_doc_span_tables(passages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Flatten read_bioc output into the (docs, spans) pair the span
+    operators consume, with passage-LOCAL char offsets (start - offset) —
+    belb's Annotation.start - Passage.offset convention."""
+    docs = passages.select(
+        F.concat_ws("#", "doc_id", F.col("passage_idx").cast("string")).alias("doc_id"),
+        "text",
+    )
+    spans = passages.select(
+        F.concat_ws("#", "doc_id", F.col("passage_idx").cast("string")).alias("doc_id"),
+        F.col("offset").alias("_poff"),
+        F.posexplode("annotations").alias("_i", "a"),
+    ).select(
+        "doc_id",
+        F.col("_i").cast("long").alias("span_id"),
+        (F.col("a.start") - F.col("_poff")).alias("start"),
+        (F.col("a.end") - F.col("_poff")).alias("end"),
+        F.col("a.text").alias("span_text"),
+        F.col("a.entity_type").alias("entity_type"),
+    )
+    return docs, spans
 
 
 def read_jsonl(

@@ -4,8 +4,10 @@ local[32] — the sandbox stand-in for N vs 4N executors, per BASELINE.md) on
 the same input; reports throughput at both plus scaling efficiency.
 
 Each level runs in its own subprocess (fresh JVM) via spark-submit --py-files
-(north-rule launch mode). Shuffle partitions scale with cores (4× cores) so
-the comparison is honest. Results land in BENCH/BASELINE.md.
+(north-rule launch mode). Shuffle partitions = cores at each level (one task
+wave per shuffle; the CPU-bound scoring stage additionally repartitions to
+3× cores explicitly) so the comparison is honest. Results land in
+BENCH/BASELINE.md.
 
 Usage: python scripts/scaling_bench.py [--scale bench] [--repeats 2]
 """
@@ -134,7 +136,8 @@ Same ER job (normalize → block → pairs → score → cluster → eval), same
 ({n["rows"]} rows, synthetic `{args.scale}` scale, seed {cfg.seed}), launched via
 `spark-submit --py-files dist/belb_spark.zip` at two parallelism levels —
 the sandbox stand-in for N vs 4N executors (BASELINE.md). Shuffle
-partitions = 4 × cores at each level. Best of {args.repeats} runs per level.
+partitions = cores at each level (the scoring stage explicitly repartitions
+to 3 × cores). Best of {args.repeats} runs per level.
 
 | level | cores | wall (s) | pairs scored | pairs/sec | rows/sec | test F1 |
 |---|---|---|---|---|---|---|
@@ -158,7 +161,17 @@ Per-stage wall seconds:
 """ + "\n".join(
         f"| {k} | {n['stage_walls'].get(k)} | {n4['stage_walls'].get(k)} |"
         for k in n["stage_walls"]
-    ) + "\n"
+    ) + """
+
+## Iceberg probe (SURVEY §7.2 step 1)
+
+Probed this sandbox for an Iceberg backend (2026-08-16): no
+`iceberg-spark-runtime` jar under /opt/spark/jars, no `pyiceberg` module,
+no network to fetch either. CheckpointStore therefore runs its documented
+Parquet+manifest fallback (belb_spark/checkpoint.py:1-19); on a real
+cluster the same interface binds to an Iceberg catalog (snapshot id in
+place of the manifest).
+"""
 
     out_md = REPO / "BENCH" / "BASELINE.md"
     out_md.parent.mkdir(exist_ok=True)

@@ -6,12 +6,65 @@ import tempfile
 import pytest
 
 from belb_spark.sources.readers import (
+    bioc_to_doc_span_tables,
     parse_kv_records,
+    read_bioc,
     read_delimited,
     read_delimited_records,
     read_jsonl,
     read_tsv,
 )
+
+BIOC_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<collection><source>test</source>
+ <document><id>d1</id>
+  <passage><offset>0</offset><text>the IL6 gene binds TNF</text>
+   <annotation id="a0"><infon key="type">gene</infon>
+     <location offset="4" length="3"/><text>IL6</text></annotation>
+   <annotation id="a1"><infon key="type">gene</infon>
+     <location offset="19" length="3"/><text>TNF</text></annotation>
+  </passage>
+  <passage><offset>23</offset><text>second passage text</text>
+   <annotation id="a2"><infon key="type">disease</infon>
+     <location offset="30" length="7"/><text>passage</text></annotation>
+  </passage>
+ </document>
+ <document><id>d2</id>
+  <passage><offset>0</offset><text>no annotations here</text></passage>
+ </document>
+</collection>
+"""
+
+BIOC_JSON = {
+    "source": "test",
+    "documents": [
+        {
+            "id": "d1",
+            "passages": [
+                {
+                    "offset": 0,
+                    "text": "the IL6 gene binds TNF",
+                    "annotations": [
+                        {"id": "a0", "infons": {"type": "gene"},
+                         "locations": [{"offset": 4, "length": 3}], "text": "IL6"},
+                        {"id": "a1", "infons": {"type": "gene"},
+                         "locations": [{"offset": 19, "length": 3}], "text": "TNF"},
+                    ],
+                },
+                {
+                    "offset": 23,
+                    "text": "second passage text",
+                    "annotations": [
+                        {"id": "a2", "infons": {"type": "disease"},
+                         "locations": [{"offset": 30, "length": 7}], "text": "passage"},
+                    ],
+                },
+            ],
+        },
+        {"id": "d2", "passages": [{"offset": 0, "text": "no annotations here",
+                                   "annotations": []}]},
+    ],
+}
 
 
 @pytest.fixture()
@@ -82,3 +135,47 @@ def test_read_jsonl_with_schema(spark, tmp):
     exploded = df.select("rsid", F.explode_outer("genes").alias("g"))
     got = {(r["rsid"], r["g"]["id"] if r["g"] else None) for r in exploded.collect()}
     assert got == {("rs1", 7157), ("rs2", None)}
+
+
+def _norm_bioc_rows(df):
+    return sorted(
+        (r["doc_id"], r["passage_idx"], r["offset"], r["text"],
+         tuple(sorted((a["ann_id"], a["start"], a["end"], a["text"], a["entity_type"])
+                      for a in (r["annotations"] or []))))
+        for r in df.collect()
+    )
+
+
+def test_read_bioc_xml_json_agree(spark, tmp):
+    import json
+
+    (tmp / "c.xml").write_text(BIOC_XML)
+    (tmp / "c.json").write_text(json.dumps(BIOC_JSON))
+    x = read_bioc(spark, str(tmp / "c.xml"), fmt="xml")
+    j = read_bioc(spark, str(tmp / "c.json"), fmt="json")
+    assert _norm_bioc_rows(x) == _norm_bioc_rows(j)
+    assert x.count() == 3  # 2 passages of d1 + 1 of d2
+
+
+def test_bioc_composes_with_span_operators(spark, tmp):
+    """S8 -> (docs, spans) -> offset QAQC + T3 markers, end to end."""
+    import json
+
+    from belb_spark.operators.spans import check_span_offsets, mark_spans
+    from pyspark.sql import functions as F
+
+    (tmp / "c.json").write_text(json.dumps(BIOC_JSON))
+    passages = read_bioc(spark, str(tmp / "c.json"), fmt="json")
+    docs, spans = bioc_to_doc_span_tables(passages)
+    # BioC offsets are document-absolute; after passage-local remap the
+    # reference's offset contract (qaqc.py:27-58) must hold
+    joined = spans.join(docs, "doc_id").select(
+        "doc_id", "span_id", "start", "end", "span_text", "text"
+    )
+    assert check_span_offsets(joined) == 0
+    marked = mark_spans(docs, spans)
+    assert check_span_offsets(marked) == 0
+    t = marked.filter(
+        (F.col("doc_id") == "d1#0") & F.col("span_id").isNotNull()
+    ).first()["text"]
+    assert t == "the [MS] IL6 [ME] gene binds [MS] TNF [ME]"
