@@ -205,6 +205,64 @@ def q_events_overlap_anti(spark, sf_dir):
     )
 
 
+def _derived_spans(spark, sf_dir):
+    """Deterministic span fixture over documents: two fixed spans [5,12) and
+    [20,28) per doc with ≥28 chars (second glued/overlap behavior exercised
+    by whatever the corpus text happens to contain at those offsets)."""
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= 28).select("doc_id", "text")
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("span_id"),
+                    F.lit(5).cast("long").alias("start"),
+                    F.lit(12).cast("long").alias("end"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("span_id"),
+                    F.lit(20).cast("long").alias("start"),
+                    F.lit(28).cast("long").alias("end"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.*")
+    return docs, spans
+
+
+def q_spans_clean_iwm(spark, sf_dir):
+    """T1 CleanIntraWordMentions over derived spans: whitespace repair +
+    offset remap; compared value-by-value against an arithmetic SQL twin."""
+    from belb_spark.operators.spans import clean_intra_word_spans
+
+    docs, spans = _derived_spans(spark, sf_dir)
+    out = clean_intra_word_spans(docs, spans)
+    return out.filter(F.col("span_id").isNotNull()).select(
+        F.col("doc_id").cast("long"),
+        F.col("span_id").cast("long"),
+        F.col("start").cast("long"),
+        F.col("end").cast("long"),
+        "span_text",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def q_spans_mark(spark, sf_dir):
+    """T3 AddMentionMarkers over derived spans ([MS]/[ME] injection)."""
+    from belb_spark.operators.spans import mark_spans
+
+    docs, spans = _derived_spans(spark, sf_dir)
+    out = mark_spans(docs, spans)
+    return out.filter(F.col("span_id").isNotNull()).select(
+        F.col("doc_id").cast("long"),
+        F.col("span_id").cast("long"),
+        F.col("start").cast("long"),
+        F.col("end").cast("long"),
+        "span_text",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_text_quality(spark, sf_dir):
     out = text_quality(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -417,6 +475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_signup": q_events_asof_signup,
         "events_overlap_join": q_events_overlap_join,
         "events_overlap_anti": q_events_overlap_anti,
+        "spans_clean_iwm": q_spans_clean_iwm,
+        "spans_mark": q_spans_mark,
     }
 
 
@@ -873,6 +933,59 @@ FROM c WHERE NOT EXISTS (
   SELECT 1 FROM s WHERE s.user_id = c.user_id
     AND c.c_start < s.s_end AND s.s_start < c.c_end
 )
+"""
+
+    # T1/T3 twins: the rewrite is pure offset arithmetic for the fixed
+    # derived spans [5,12) and [20,28), so the oracle reconstructs the
+    # transformed text by concatenation and the offsets by conditional shifts
+    _ALNUM = "'^[a-zA-Z0-9]$'"
+    sql["spans_clean_iwm"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 28),
+c AS (
+  SELECT doc_id, text,
+    CASE WHEN regexp_matches(substr(text, 5, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c1,
+    CASE WHEN regexp_matches(substr(text, 13, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c2,
+    CASE WHEN regexp_matches(substr(text, 20, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c3,
+    CASE WHEN regexp_matches(substr(text, 29, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c4
+  FROM d
+),
+n AS (
+  SELECT doc_id, c1, c2, c3,
+    md5(substr(text, 1, 5) || (CASE WHEN c1 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 6, 7) || (CASE WHEN c2 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 13, 8) || (CASE WHEN c3 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 21, 8) || (CASE WHEN c4 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 29)) AS text_md5,
+    substr(text, 6, 7) AS t0, substr(text, 21, 8) AS t1
+  FROM c
+)
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS span_id,
+       (5 + c1)::BIGINT AS start, (12 + c1)::BIGINT AS "end",
+       t0 AS span_text, text_md5
+FROM n
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT,
+       (20 + c1 + c2 + c3)::BIGINT, (28 + c1 + c2 + c3)::BIGINT,
+       t1, text_md5
+FROM n
+"""
+
+    sql["spans_mark"] = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 28),
+n AS (
+  SELECT doc_id,
+    md5(substr(text, 1, 5) || '[MS] ' || substr(text, 6, 7) || ' [ME]'
+        || substr(text, 13, 8) || '[MS] ' || substr(text, 21, 8) || ' [ME]'
+        || substr(text, 29)) AS text_md5,
+    substr(text, 6, 7) AS t0, substr(text, 21, 8) AS t1
+  FROM d
+)
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS span_id,
+       10::BIGINT AS start, 17::BIGINT AS "end", t0 AS span_text, text_md5
+FROM n
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT, 35::BIGINT, 43::BIGINT, t1, text_md5
+FROM n
 """
 
     sql["events_asof_signup"] = """

@@ -68,8 +68,22 @@ BENCH = GenConfig(n_entities=4000, n_distractors=5000, n_hot=8, hot_members=200)
 # scaling-evidence scale: big enough that per-stage fixed costs amortize and
 # the CPU-bound stages dominate (~250k rows, ~1.8M candidate pairs)
 SCALING = GenConfig(n_entities=20_000, n_distractors=25_000, n_hot=12, hot_members=200)
+# xl: enough candidate pairs (~5M) that the vectorized scoring stage is
+# compute-bound again at N=4 cores — the regime the scaling-efficiency
+# contract describes (10^12-file corpus); r2's 4x-faster kernels made the
+# 'scaling' scale fixed-cost-dominated at small N
+XL = GenConfig(n_entities=60_000, n_distractors=60_000, n_hot=16, hot_members=200)
+# xxl: ~1.9M rows / ~12M candidate pairs — after the r2 scoring-stage
+# optimizations (slim hash-keyed shuffle + distinct-payload scoring) even xl
+# finishes the stage in ~29s at 16 cores, leaving Spark's fixed ~15s of
+# serial scheduling/commit as the Amdahl cap; the N->4N efficiency contract
+# needs an input where parallel compute dominates that floor
+XXL = GenConfig(n_entities=150_000, n_distractors=150_000, n_hot=20, hot_members=200)
 
-SCALES = {"tiny": TINY, "small": SMALL, "bench": BENCH, "scaling": SCALING}
+SCALES = {
+    "tiny": TINY, "small": SMALL, "bench": BENCH,
+    "scaling": SCALING, "xl": XL, "xxl": XXL,
+}
 
 # bump when generation logic changes so /tmp bench caches invalidate
 DATAGEN_VERSION = 2

@@ -134,7 +134,7 @@ _PAD_B = 0x110001
 def _codepoint_matrix(strs: list[str], width: int, pad: int) -> tuple[np.ndarray, np.ndarray]:
     """(B, width) int64 codepoint matrix (pad-filled) + true lengths."""
     B = len(strs)
-    M = np.full((B, width), pad, dtype=np.int64)
+    M = np.full((B, width), pad, dtype=np.int32)
     lens = np.empty(B, dtype=np.int64)
     for k, s in enumerate(strs):
         s = s[:width]
@@ -154,17 +154,52 @@ def jaro_winkler_batch(s1: list[str], s2: list[str], prefix_weight: float = 0.1,
     B = len(s1)
     if B == 0:
         return np.empty(0, dtype=np.float64)
+    # batch-level prefix dedup: near-dup corpora repeat the same 96-char
+    # prefix pair across many candidate pairs — compute each distinct pair
+    # once and scatter back (the DataFrame-level payload dedup only removes
+    # FULL-text duplicates)
+    seen: dict[tuple[str, str], int] = {}
+    inverse = np.empty(B, dtype=np.int64)
+    u1: list[str] = []
+    u2: list[str] = []
+    for k, (a, b) in enumerate(zip(s1, s2)):
+        key = (a, b)
+        idx = seen.get(key)
+        if idx is None:
+            idx = seen[key] = len(u1)
+            u1.append(a)
+            u2.append(b)
+        inverse[k] = idx
+    if len(u1) < B:
+        return jaro_winkler_batch(u1, u2, prefix_weight, width)[inverse]
+
     S1, L1 = _codepoint_matrix(s1, width, _PAD_A)
     S2, L2 = _codepoint_matrix(s2, width, _PAD_B)
     w = np.maximum(np.maximum(L1, L2) // 2 - 1, 0)
-    J = np.arange(width)[None, :]
     flags = np.zeros((B, width), dtype=bool)
     j_of_i = np.full((B, width), -1, dtype=np.int64)
     rows = np.arange(B)
+    # incremental window mask: both bounds [i-w, i+w+1) advance by exactly 1
+    # per step, so each iteration toggles ONE column per side — O(B) updates
+    # instead of two fresh (B, width) comparisons
+    win = np.zeros((B, width), dtype=bool)
+    hi0 = np.minimum(L2, w + 1)  # window at i=0: [0, w+1)
+    for k in range(int(hi0.max()) if B else 0):
+        win[hi0 > k, k] = True
+    avail = np.empty((B, width), dtype=bool)
+    M = np.empty((B, width), dtype=bool)
     for i in range(int(L1.max()) if B else 0):
-        lo = np.maximum(0, i - w)[:, None]
-        hi = np.minimum(L2, i + w + 1)[:, None]
-        M = (S2 == S1[:, i][:, None]) & ~flags & (J >= lo) & (J < hi)
+        if i > 0:
+            new_hi = i + w  # column that just entered the window
+            ok = new_hi < L2
+            win[rows[ok], new_hi[ok]] = True
+            old_lo = i - w - 1  # column that just left
+            ok = old_lo >= 0
+            win[rows[ok], old_lo[ok]] = False
+        np.logical_not(flags, out=avail)
+        np.logical_and(avail, win, out=avail)
+        np.equal(S2, S1[:, i][:, None], out=M)
+        np.logical_and(M, avail, out=M)
         has = M.any(axis=1)
         j0 = M.argmax(axis=1)
         flags[rows[has], j0[has]] = True
@@ -200,14 +235,14 @@ def _token_code_matrix(
     L1 = np.fromiter((len(t) for t in toks_short), np.int64, B)
     L2 = np.fromiter((len(t) for t in toks_long), np.int64, B)
     T1, T2 = int(L1.max()) if B else 0, int(L2.max()) if B else 0
-    A = np.full((B, T1), -1, dtype=np.int64)
-    Bm = np.full((B, T2), -2, dtype=np.int64)
+    A = np.full((B, T1), -1, dtype=np.int16)
+    Bm = np.full((B, T2), -2, dtype=np.int16)
     for k in range(B):
         d: dict[str, int] = {}
         sd = d.setdefault
         ta, tb = toks_short[k], toks_long[k]
-        A[k, : len(ta)] = np.fromiter((sd(t, len(d)) for t in ta), np.int64, len(ta))
-        Bm[k, : len(tb)] = np.fromiter((sd(t, len(d)) for t in tb), np.int64, len(tb))
+        A[k, : len(ta)] = np.fromiter((sd(t, len(d)) for t in ta), np.int16, len(ta))
+        Bm[k, : len(tb)] = np.fromiter((sd(t, len(d)) for t in tb), np.int16, len(tb))
     return A, Bm, L1, L2
 
 
@@ -228,12 +263,12 @@ def levenshtein_norm_batch(
     long_ = [a if s else b for a, b, s in zip(toks_a, toks_b, swap)]
     A, Bm, L1, L2 = _token_code_matrix(short, long_)
     T1, T2 = A.shape[1], Bm.shape[1]
-    idx = np.arange(T1 + 1)[None, :]
-    prev = np.broadcast_to(np.arange(T1 + 1), (B, T1 + 1)).copy()
+    idx = np.arange(T1 + 1, dtype=np.int16)[None, :]
+    prev = np.broadcast_to(np.arange(T1 + 1, dtype=np.int16), (B, T1 + 1)).copy()
     for j in range(1, T2 + 1):
         bj = Bm[:, j - 1][:, None]
         cur0 = np.minimum(prev[:, :-1] + (A != bj), prev[:, 1:] + 1)
-        full0 = np.concatenate((np.full((B, 1), j, dtype=np.int64), cur0), axis=1)
+        full0 = np.concatenate((np.full((B, 1), j, dtype=np.int16), cur0), axis=1)
         cur = np.minimum.accumulate(full0 - idx, axis=1) + idx
         act = (j <= L2)[:, None]
         prev = np.where(act, cur, prev)

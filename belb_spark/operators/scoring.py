@@ -1,10 +1,13 @@
 """Stage 4 — pairwise scoring: JVM Jaccard prefilter → one pandas UDF.
 
-Plan shape (what .explain should show): two shuffle joins of the slim
-feature projection (uid, token_set, norm_text) onto the pair table — columns
-projected *before* the join so the shuffle moves only what the scorer needs
-(SURVEY.md §4 "project only needed columns before the UDF") — then a codegen
-Jaccard filter, then the ArrowEvalPython node for survivors only.
+Plan shape (what .explain should show): the pair table is joined with ONLY a
+16-byte content hash per side — the big payloads (token_set, norm_text)
+never ride the 4.6M-pair shuffle. The full score is a pure function of
+(nt_a, nt_b), so every computation — the codegen Jaccard prefilter AND the
+rich-score ArrowEvalPython — runs once per DISTINCT payload pair and hash-
+joins back onto the slim pair rows. At the xl scale this cuts the stage's
+shuffle volume ~10× (VERDICT r1 round 2: the stage had become byte-bound,
+not kernel-bound, after the kernels were vectorized).
 
 Combined score = w_jacc·token_jaccard + (1-w_jacc)·rich(norm_text) where
 rich = Jaro-Winkler + norm-Levenshtein + char-3gram cosine (simfns.py).
@@ -36,50 +39,64 @@ class ScoringConfig:
 def score_pairs(
     pairs: DataFrame, normalized: DataFrame, cfg: ScoringConfig = ScoringConfig()
 ) -> DataFrame:
-    """(uid_a, uid_b) + normalized features -> (uid_a, uid_b, score)."""
-    feats = normalized.select("uid", "token_set", "norm_text")
-    a = feats.select(
-        F.col("uid").alias("uid_a"),
-        F.col("token_set").alias("ts_a"),
-        F.col("norm_text").alias("nt_a"),
-    )
-    b = feats.select(
-        F.col("uid").alias("uid_b"),
-        F.col("token_set").alias("ts_b"),
-        F.col("norm_text").alias("nt_b"),
-    )
-    joined = pairs.join(a, "uid_a").join(b, "uid_b")
-    joined = joined.withColumn("jacc", token_jaccard("ts_a", "ts_b"))
-    joined = joined.filter(F.col("jacc") >= F.lit(cfg.jaccard_prefilter))
+    """(uid_a, uid_b) + normalized features -> (uid_a, uid_b, score).
 
-    # payload dedup (VERDICT r1): near-dup corpora repeat normalized texts —
-    # many candidate pairs carry the SAME (nt_a, nt_b) payload. Score each
-    # distinct payload ONCE (keyed by md5 — 128-bit, collision-free at any
-    # realistic scale) and hash-join the rich score back onto the slim pair
-    # rows; the Arrow transfer and the kernels see only distinct payloads.
-    keyed = joined.withColumn(
-        "pk", F.md5(F.concat_ws("\u0000", "nt_a", "nt_b"))
+    Pairs whose payload fails the Jaccard prefilter are dropped (same
+    semantics as filtering per pair — the score depends only on content).
+    """
+    spark = pairs.sparkSession
+    # md5 = 128-bit content key: collision-free at any realistic corpus
+    # size, engine-portable, and 16 bytes instead of ~0.5 kB of payload
+    feats = normalized.select(
+        "uid", "token_set", "norm_text", F.md5("norm_text").alias("h")
     )
-    spark = joined.sparkSession
+    ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))
+    hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))
+    keyed = pairs.join(ha, "uid_a").join(hb, "uid_b")
+
+    # one representative payload per distinct content hash
+    reps = feats.dropDuplicates(["h"]).select("h", "token_set", "norm_text")
+    payloads = (
+        keyed.select("h_a", "h_b")
+        .distinct()
+        .join(
+            reps.select(
+                F.col("h").alias("h_a"),
+                F.col("token_set").alias("ts_a"),
+                F.col("norm_text").alias("nt_a"),
+            ),
+            "h_a",
+        )
+        .join(
+            reps.select(
+                F.col("h").alias("h_b"),
+                F.col("token_set").alias("ts_b"),
+                F.col("norm_text").alias("nt_b"),
+            ),
+            "h_b",
+        )
+        .withColumn("jacc", token_jaccard("ts_a", "ts_b"))
+        .filter(F.col("jacc") >= F.lit(cfg.jaccard_prefilter))
+    )
     # spread the Python-UDF stage across all workers: AQE happily coalesces
     # the (byte-wise small) shuffle to 1-2 partitions, which would serialize
     # the CPU-bound scorer. 3 waves per core: a straggler partition costs
     # 1/3 wave, not a full one.
-    payloads = (
-        keyed.select("pk", "nt_a", "nt_b")
-        .dropDuplicates(["pk"])
-        .repartition(3 * spark.sparkContext.defaultParallelism)
-    )
+    payloads = payloads.repartition(3 * spark.sparkContext.defaultParallelism)
     rich = make_rich_score_udf(cfg.w_jw, cfg.w_lev, cfg.w_cos, cfg.clip_chars)
     payload_scores = payloads.select(
-        "pk", rich(F.col("nt_a"), F.col("nt_b")).alias("rich")
+        "h_a",
+        "h_b",
+        (
+            F.col("jacc") * cfg.w_jacc
+            + rich(F.col("nt_a"), F.col("nt_b")) * (1.0 - cfg.w_jacc)
+        ).alias("score"),
     )
-    scored = keyed.select("uid_a", "uid_b", "jacc", "pk").join(
-        payload_scores, "pk"
-    ).withColumn(
-        "score", F.col("jacc") * cfg.w_jacc + F.col("rich") * (1.0 - cfg.w_jacc)
+    # inner join implements the prefilter on the pair table (sub-threshold
+    # payloads have no score row)
+    return keyed.join(payload_scores, ["h_a", "h_b"]).select(
+        "uid_a", "uid_b", "score"
     )
-    return scored.select("uid_a", "uid_b", "score")
 
 
 def edges_from_scores(scored: DataFrame, threshold: float) -> DataFrame:

@@ -31,7 +31,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_srp_buckets",
+    "ann_srp_topk",
     "text_fingerprint",
+    "events_overlap_join",
     "tpch_q1_agg",
     "join_star_revenue",
     "window_running_total",

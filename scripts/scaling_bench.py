@@ -83,7 +83,7 @@ def run_level(master: str, data_dir: str, scale: str, repeats: int) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling"])
+    ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling", "xl", "xxl"])
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares local[N] vs local[4N]")
     args = ap.parse_args()

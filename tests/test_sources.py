@@ -179,3 +179,21 @@ def test_bioc_composes_with_span_operators(spark, tmp):
         (F.col("doc_id") == "d1#0") & F.col("span_id").isNotNull()
     ).first()["text"]
     assert t == "the [MS] IL6 [ME] gene binds [MS] TNF [ME]"
+
+
+def test_sinks_roundtrip(spark, tmp):
+    """K1/K3/K4: TSV.gz and JSONL sinks round-trip through their readers."""
+    from belb_spark.sources.sinks import write_jsonl, write_tsv
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string"
+    )
+    write_tsv(df, str(tmp / "out_tsv"), gzip=True, single_file=True)
+    back = read_tsv(spark, str(tmp / "out_tsv"), schema="id long, name string")
+    assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "alpha"), (2, "beta")}
+    import glob
+    assert glob.glob(str(tmp / "out_tsv" / "*.csv.gz"))  # gzip codec applied
+
+    write_jsonl(df, str(tmp / "out_jsonl"))
+    back2 = read_jsonl(spark, str(tmp / "out_jsonl"), schema="id long, name string")
+    assert back2.count() == 2
