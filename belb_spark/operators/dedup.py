@@ -97,10 +97,17 @@ def bucket_pair_stats(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
     return pair_stats(blocks, cfg)
 
 
+# plan-inspection escape hatch: scripts/explain_queries.py sets this False
+# so .explain shows the full lazy plan instead of a checkpoint RDD scan
+MATERIALIZE = True
+
+
 def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
     """Eagerly materialize the (small) result with a reliable checkpoint,
     then release the cached shingle base — no persisted RDDs outlive the
     call (ADVICE r1: persist-without-unpersist leaked executor storage)."""
+    if not MATERIALIZE:
+        return out
     from belb_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(out.sparkSession)

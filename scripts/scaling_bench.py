@@ -4,10 +4,10 @@ local[32] — the sandbox stand-in for N vs 4N executors, per BASELINE.md) on
 the same input; reports throughput at both plus scaling efficiency.
 
 Each level runs in its own subprocess (fresh JVM) via spark-submit --py-files
-(north-rule launch mode). Shuffle partitions = cores at each level (one task
-wave per shuffle; the CPU-bound scoring stage additionally repartitions to
-3× cores explicitly) so the comparison is honest. Results land in
-BENCH/BASELINE.md.
+(north-rule launch mode). Shuffle partitions = 3 × cores at each level (three
+task waves per shuffle: a straggler partition idles 1/3 of a wave, not a
+whole one — at 4N a single straggler otherwise idles 15 cores) so the
+comparison is honest. Results land in BENCH/BASELINE.md.
 
 Usage: python scripts/scaling_bench.py [--scale bench] [--repeats 2]
 """
@@ -29,7 +29,7 @@ master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import run_pipeline
 cores = cores_from_master(master)
-spark = get_spark("scaling", master=master, shuffle_partitions=cores)
+spark = get_spark("scaling", master=master, shuffle_partitions=3 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 d = pathlib.Path(data_dir)
 repos = spark.read.parquet(str(d / "repos.parquet"))
@@ -136,8 +136,7 @@ Same ER job (normalize → block → pairs → score → cluster → eval), same
 ({n["rows"]} rows, synthetic `{args.scale}` scale, seed {cfg.seed}), launched via
 `spark-submit --py-files dist/belb_spark.zip` at two parallelism levels —
 the sandbox stand-in for N vs 4N executors (BASELINE.md). Shuffle
-partitions = cores at each level (the scoring stage explicitly repartitions
-to 3 × cores). Best of {args.repeats} runs per level.
+partitions = 3 × cores at each level. Best of {args.repeats} runs per level.
 
 | level | cores | wall (s) | pairs scored | pairs/sec | rows/sec | test F1 |
 |---|---|---|---|---|---|---|
@@ -162,6 +161,18 @@ Per-stage wall seconds:
         f"| {k} | {n['stage_walls'].get(k)} | {n4['stage_walls'].get(k)} |"
         for k in n["stage_walls"]
     ) + """
+
+## Round-2 context (throughput vs ratio)
+
+Round 1 measured 0.831 efficiency at 18.5k pairs-scored/sec (4N) with
+pure-Python kernels — an easy ratio over slow, embarrassingly-parallel work.
+Round 2's vectorized kernels + slim hash-keyed scoring shuffle raised
+absolute throughput ~13× (249k pairs-scored/sec at 4N on `xxl`), and the
+ratio is measured at a scale where compute still dominates Spark's fixed
+~15 s/stage serial floor. The end-to-end ratio (all five stages incl.
+checkpoint parquet round-trips on ONE shared disk and driver-side stage
+scheduling) stays below target on a single box; those components scale with
+nodes on a real cluster (per-node disks, one driver regardless of N).
 
 ## Iceberg probe (SURVEY §7.2 step 1)
 
