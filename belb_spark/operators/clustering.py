@@ -87,10 +87,14 @@ def connected_components(
 
     prev_fp = None
     for it in range(max_iter):
-        e = _small_star(_large_star(e)).checkpoint(eager=True)
-        # extra rounds are idempotent once converged — checking every 2nd
-        # round halves the driver-side fingerprint jobs
+        e = _small_star(_large_star(e))
+        # extra rounds are idempotent once converged — checkpointing AND
+        # convergence-checking every 2nd round halves both the disk
+        # round-trips and the driver-side jobs (two rounds of lineage
+        # materialize in one job; at 4N the per-job scheduling floor was the
+        # clusters stage's scaling cap)
         if it % 2 == 1 or it == max_iter - 1:
+            e = e.checkpoint(eager=True)
             fp = _fingerprint(e)
             if fp == prev_fp:
                 break
