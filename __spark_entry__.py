@@ -34,6 +34,7 @@ from belb_spark.operators.dedup import (
 )
 from belb_spark.operators.similarity import (
     cosine_topk,
+    embedding_cosine_pairs,
     srp_ann_topk,
     srp_lsh_buckets,
     srp_weights,
@@ -151,6 +152,38 @@ def q_srp_ann_topk(spark, sf_dir):
         F.col("vec_id").cast("long"),
         F.col("rank").cast("long"),
         "cosine",
+    )
+
+
+def q_min_code_assembly(spark, sf_dir):
+    """A12 literal UMLS min-code synset assembly (kb.min_code_assembly) over
+    an events-derived dictionary: identifier=user_id, name=event_type,
+    description=floor(value) — min code per name, lexicographically-min name
+    promoted to symbol (code 0) for identifiers lacking one."""
+    from belb_spark.operators.kb import min_code_assembly
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d = events.select(
+        F.col("user_id").alias("identifier"),
+        F.col("event_type").alias("name"),
+        F.floor("value").cast("long").alias("description"),
+    )
+    out = min_code_assembly(d, symbol_code=0)
+    return out.select(
+        F.col("identifier").cast("long"),
+        "name",
+        F.col("description").cast("long"),
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: SRP-bucket blocking + exact cosine
+    verify (the vector twin of minhash-LSH dedup)."""
+    out = embedding_cosine_pairs(
+        _emb(spark, sf_dir), min_cosine=0.2, n_planes=8, dim=64
+    )
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
     )
 
 
@@ -445,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_minhash_pairs,
         "dedup_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_simhash": q_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "er_cc_clusters": q_cc_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_buckets": q_srp_buckets,
@@ -477,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_anti": q_events_overlap_anti,
         "spans_clean_iwm": q_spans_clean_iwm,
         "spans_mark": q_spans_mark,
+        "min_code_assembly": q_min_code_assembly,
     }
 
 
@@ -694,6 +729,22 @@ FROM r WHERE rank <= 5
 
     sql["ann_srp_buckets"] = _srp_sql()
     sql["ann_srp_topk"] = _srp_topk_sql()
+
+    sql["dedup_embedding_cosine"] = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         ({_srp_bucket_expr()}) AS bucket
+  FROM embeddings
+),
+c AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+         round(list_inner_product(a.v, x.v) /
+               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(x.v, x.v))), 3) AS cosine
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine
+FROM c WHERE cosine >= 0.2
+"""
 
     sql["text_quality"] = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS tk, text FROM documents)
@@ -986,6 +1037,29 @@ FROM n
 UNION ALL
 SELECT doc_id::BIGINT, 1::BIGINT, 35::BIGINT, 43::BIGINT, t1, text_md5
 FROM n
+"""
+
+    sql["min_code_assembly"] = """
+WITH d AS (
+  SELECT user_id AS identifier, event_type AS name,
+         floor(value)::BIGINT AS description
+  FROM events
+),
+per_name AS (
+  SELECT identifier, name, min(description) AS description
+  FROM d GROUP BY identifier, name
+),
+flagged AS (
+  SELECT identifier, name, description,
+         max(CASE WHEN description = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY identifier) AS has_symbol,
+         min(name) OVER (PARTITION BY identifier) AS min_name
+  FROM per_name
+)
+SELECT identifier::BIGINT AS identifier, name,
+       (CASE WHEN has_symbol = 0 AND name = min_name THEN 0
+             ELSE description END)::BIGINT AS description
+FROM flagged
 """
 
     sql["events_asof_signup"] = """

@@ -176,6 +176,40 @@ def attach_foreign_names(kb: DataFrame, foreign_kb: DataFrame) -> DataFrame:
     ).drop("_fid")
 
 
+def min_code_assembly(
+    synonym_dict: DataFrame, symbol_code: int = 0
+) -> DataFrame:
+    """A12 — the literal UMLS min-code synset assembly
+    (belb/kbs/umls/umls.py:172-198): per (identifier, name) keep the MIN
+    description code; an identifier with NO name carrying the symbol code
+    gets its minimal name (lexicographic ``min(names)``, umls.py:182-183)
+    promoted to symbol, so every synset has exactly one preferred row.
+
+    synonym_dict(identifier, name, description) ->
+    (identifier, name, description), one row per (identifier, name).
+    Pure groupBy/window — no collect, no UDF."""
+    from pyspark.sql import Window
+
+    per_name = synonym_dict.groupBy("identifier", "name").agg(
+        F.min("description").alias("description")
+    )
+    w = Window.partitionBy("identifier")
+    flagged = per_name.withColumn(
+        "_has_symbol",
+        F.max((F.col("description") == symbol_code).cast("int")).over(w),
+    ).withColumn("_min_name", F.min("name").over(w))
+    return flagged.select(
+        "identifier",
+        "name",
+        F.when(
+            (F.col("_has_symbol") == 0) & (F.col("name") == F.col("_min_name")),
+            F.lit(symbol_code),
+        )
+        .otherwise(F.col("description"))
+        .alias("description"),
+    )
+
+
 def identifier_homonyms(synonym_dict: DataFrame) -> DataFrame:
     """identifiers with identical ordered synsets merge: min identifier
     becomes canonical, the rest map to it (A4, belb/kbs/query.py:97-194).

@@ -94,6 +94,44 @@ def srp_lsh_buckets(
     )
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    min_cosine: float = 0.9,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share an SRP
+    bucket (bucket-equi self-join — the blocking step, no cross join), then
+    exact cosine verification ≥ min_cosine. Output (id_a, id_b, cosine).
+
+    Same shape as MinHash-LSH dedup but over the vector column: at 100 TB
+    the bucket is the shuffle key and a bucket is a tiny fraction of the
+    corpus. Recall is the SRP collision probability (1 - θ/π)^planes on the
+    near-dup band — raise recall with multiple plane sets unioned, exactly
+    like LSH band tables.
+    """
+    b = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    v = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(b, "vec_id")
+    left = v.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+    )
+    right = v.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+    )
+    cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        cand.withColumn("cosine", F.round(cos, round_digits))
+        .filter(F.col("cosine") >= F.lit(min_cosine))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def srp_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -133,3 +133,28 @@ def test_identifier_homonyms_identical_synsets_merge(spark):
     rows = identifier_homonyms(sd).collect()
     assert len(rows) == 1
     assert rows[0]["homonym"] == 9 and rows[0]["identifier"] == 5
+
+
+def test_min_code_assembly_umls_semantics(spark):
+    """Literal UMLS behavior (belb/kbs/umls/umls.py:172-198): min code per
+    (identifier, name); identifiers without a symbol-coded name promote
+    their lexicographically-min name to symbol."""
+    from belb_spark.operators.kb import min_code_assembly
+
+    d = spark.createDataFrame(
+        [
+            # id 1 already has a symbol (code 0) name
+            (1, "alpha", 0), (1, "alpha", 5), (1, "beta", 3),
+            # id 2 has none: 'aa' (lexicographic min, NOT shortest) promoted
+            (2, "aa", 7), (2, "z", 2),
+        ],
+        "identifier long, name string, description long",
+    )
+    out = {(r["identifier"], r["name"]): r["description"]
+           for r in min_code_assembly(d).collect()}
+    assert out == {
+        (1, "alpha"): 0,   # min(0, 5)
+        (1, "beta"): 3,
+        (2, "aa"): 0,      # promoted to symbol
+        (2, "z"): 2,
+    }
