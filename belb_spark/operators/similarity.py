@@ -113,17 +113,25 @@ def embedding_cosine_pairs(
     near-dup band — raise recall with multiple plane sets unioned, exactly
     like LSH band tables.
     """
+    from belb_spark.operators.pairs import PairsConfig, candidate_pairs_salted
+
     b = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
+    # slim (id, bucket) self-join through the shared anchor-capped + salted
+    # pair builder: a degenerate embedding set collapsing into one bucket
+    # cannot go O(n²) on a single reducer (same defense as the text-dedup
+    # family); buckets ≤ full_join_max keep exhaustive all-pairs semantics
+    blocks = b.select(
+        F.col("vec_id").alias("uid"), F.col("bucket").cast("string").alias("block_key")
+    )
+    cand = candidate_pairs_salted(blocks, PairsConfig()).select(
+        F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
+    )
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    ).join(b, "vec_id")
-    left = v.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
     )
-    right = v.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
-    )
-    cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cand = cand.join(
+        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
+    ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
     cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
         cand.withColumn("cosine", F.round(cos, round_digits))
