@@ -47,6 +47,44 @@ def assign_uids(repos: DataFrame) -> DataFrame:
     return repos.withColumn("uid", F.row_number().over(w).cast("long"))
 
 
+def assign_uids_scalable(
+    repos: DataFrame, keys: list[str] | None = None, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic dense uid WITHOUT a single-partition global sort (the
+    W1 scale caveat on :func:`assign_uids`): range-partition by the natural
+    key (parallel sort), number rows with a PARTITION-LOCAL window, then add
+    broadcast per-partition offsets. Two extra jobs (range sampling +
+    partition counts), every stage parallel — the 10^12-row path.
+
+    Output is identical to ``assign_uids`` (row_number over the key order,
+    1-based) — pinned by tests.
+    """
+    if "uid" in repos.columns:
+        return repos
+    keys = keys or ["repo", "path", "commit"]
+    n = partitions or repos.sparkSession.sparkContext.defaultParallelism
+    ranged = repos.repartitionByRange(n, *[F.col(k) for k in keys])
+    pid = F.spark_partition_id()
+    local = ranged.withColumn("_pid", pid).withColumn(
+        "_local",
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["_n"]
+    pairs = []
+    for k, v in sorted(offsets.items()):
+        pairs.extend([F.lit(k), F.lit(v)])
+    omap = F.create_map(*pairs) if pairs else F.create_map()
+    return (
+        local.withColumn("uid", (omap[F.col("_pid")] + F.col("_local")).cast("long"))
+        .drop("_pid", "_local")
+    )
+
+
 def canonical_token_map(synonym_dict: DataFrame) -> dict[str, str]:
     """name -> canonical symbol (description==0 row of the identifier),
     mirroring belb's keep-preferred dedup (belb/kbs/kb.py:251-263)."""

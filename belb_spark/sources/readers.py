@@ -98,6 +98,42 @@ def parse_kv_records(records: DataFrame, kv_sep: str = r"\s+") -> DataFrame:
     return kv.groupBy("rid", "k").agg(F.collect_list("v").alias("vals"))
 
 
+def read_tar_members(
+    spark: SparkSession, path: str, member_suffix: str = ""
+) -> DataFrame:
+    """Tar-member stream (belb S3 — PubTator ships as member files inside a
+    tar.gz, belb/corpora/pubtator.py-style ingestion): one row per member
+    file, decoded as UTF-8 text. Archives are read whole per task
+    (``binaryFile`` source + ``mapInPandas`` + stdlib tarfile — compression
+    inferred from the archive), so the unit of parallelism is the archive:
+    shard big corpora into many tars, which is how they ship anyway.
+    Output: (archive, member, text)."""
+
+    def parse(iterator):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for apath, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile() or not m.name.endswith(member_suffix):
+                            continue
+                        f = tf.extractfile(m)
+                        rows.append(
+                            (apath, m.name, f.read().decode("utf-8") if f else "")
+                        )
+            yield pd.DataFrame(rows, columns=["archive", "member", "text"])
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInPandas(
+        parse, "archive string, member string, text string"
+    )
+
+
 BIOC_SCHEMA = (
     "doc_id string, passage_idx long, offset long, text string, "
     "annotations array<struct<ann_id:string, start:long, end:long, "

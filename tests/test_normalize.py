@@ -65,3 +65,25 @@ def test_canonicalize_strategies_agree(spark, tiny_spark):
     for s in ["map", "join"]:
         assert outs["udf"].exceptAll(outs[s]).count() == 0, s
         assert outs[s].exceptAll(outs["udf"]).count() == 0, s
+
+
+def test_assign_uids_scalable_matches_global(spark, tiny_spark):
+    """The range-partitioned uid assignment is bit-identical to the global
+    row_number (W1), with no single-partition sort of the full table."""
+    from pyspark.sql import functions as F
+
+    from belb_spark.operators.normalize import assign_uids, assign_uids_scalable
+
+    repos = tiny_spark["repos"].drop("uid")
+    want = {
+        (r["repo"], r["path"], r["commit"]): r["uid"]
+        for r in assign_uids(repos).select("repo", "path", "commit", "uid").collect()
+    }
+    got_df = assign_uids_scalable(repos, partitions=4)
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["uid"]
+        for r in got_df.select("repo", "path", "commit", "uid").collect()
+    }
+    assert got == want
+    n = len(got)
+    assert sorted(got.values()) == list(range(1, n + 1))  # dense 1..n

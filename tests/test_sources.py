@@ -197,3 +197,24 @@ def test_sinks_roundtrip(spark, tmp):
     write_jsonl(df, str(tmp / "out_jsonl"))
     back2 = read_jsonl(spark, str(tmp / "out_jsonl"), schema="id long, name string")
     assert back2.count() == 2
+
+
+def test_read_tar_members(spark, tmp):
+    """S3: tar.gz member stream — one row per member file."""
+    import tarfile
+
+    from belb_spark.sources.readers import read_tar_members
+
+    p = tmp / "corpus.tar.gz"
+    with tarfile.open(p, "w:gz") as tf:
+        for name, data in [("a/doc1.txt", "hello one"), ("a/doc2.txt", "hello two"),
+                           ("a/skip.bin", "binary-ish")]:
+            import io
+
+            b = data.encode()
+            info = tarfile.TarInfo(name)
+            info.size = len(b)
+            tf.addfile(info, io.BytesIO(b))
+    out = read_tar_members(spark, str(p), member_suffix=".txt")
+    rows = {r["member"]: r["text"] for r in out.collect()}
+    assert rows == {"a/doc1.txt": "hello one", "a/doc2.txt": "hello two"}
