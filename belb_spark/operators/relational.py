@@ -249,21 +249,22 @@ def doc_chunking(spark: SparkSession, sf_dir: str, chunk: int = 20) -> DataFrame
     toks = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk)).cast("int")
     # zero-token guard: n_chunks=0 would make sequence(0, -1) yield the
-    # DESCENDING array [0, -1] (two bogus empty chunks); the oracle emits no
-    # rows for empty docs, so neither do we
-    chunks = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, (i * chunk + 1).cast("int"), chunk)
-            ),
+    # DESCENDING array [0, -1] (two bogus empty chunks). Clamp the sequence
+    # and drop empty chunk rows instead of wrapping the transform in a
+    # CaseWhen (a `when` around a higher-order expression defeats codegen —
+    # see blocking.shingles_col); real chunks are never "" since tokens are
+    # non-empty, so the filter exactly matches the oracle's no-rows-for-
+    # empty-docs semantics.
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, (i * chunk + 1).cast("int"), chunk)
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
     return docs.select(
         "doc_id",
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    ).select(
+    ).filter(F.col("chunk_text") != "").select(
         F.col("doc_id").cast("long"),
         F.col("chunk_idx").cast("long"),
         "chunk_text",

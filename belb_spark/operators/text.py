@@ -69,8 +69,13 @@ def doc_fingerprint(
     Output (doc_id, fingerprint). Docs shorter than ``width`` tokens
     fingerprint their whole text (shingles_col short-doc semantics); docs
     with NO tokens produce no row (matches the oracle's GROUP BY)."""
-    sh = shingles_col(tokens_col(F.lower(F.col(text_col))), width)
-    return df.select(
+    toks = tokens_col(F.lower(F.col(text_col)))
+    sh = shingles_col(toks, width)
+    # drop zero-token docs on the CHEAP predicate before the projection:
+    # filtering on fingerprint IS NOT NULL would be pushed below the
+    # projection by Catalyst, substituting the alias and evaluating the
+    # whole shingle+md5 expression twice per row (measured 2×)
+    return df.filter(F.size(toks) > 0).select(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
-    ).filter(F.col("fingerprint").isNotNull())
+    )
