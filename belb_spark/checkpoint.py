@@ -61,7 +61,11 @@ def input_fingerprint(df: DataFrame) -> str:
     for f in files:
         path = f[len("file:") :] if f.startswith("file:") else f
         try:
-            parts.append(f"{f}:{os.path.getsize(path)}")
+            # size AND mtime: a same-length in-place edit (fixed-width data,
+            # equal-length text swap) keeps the size — mtime catches it
+            # (ADVICE r2)
+            st = os.stat(path)
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
         except OSError:
             parts.append(f)
     return hashlib.md5("\n".join(parts).encode()).hexdigest()

@@ -47,25 +47,75 @@ def assign_uids(repos: DataFrame) -> DataFrame:
     return repos.withColumn("uid", F.row_number().over(w).cast("long"))
 
 
+def _lex_ge(keys: list[str], vals: tuple) -> "F.Column":
+    """Lexicographic (col_1, ..., col_k) >= (val_1, ..., val_k) as a plain
+    boolean expression (no struct literals — field-name-safe, codegen-able).
+    NULL key columns compare as False (they sort into bucket 0)."""
+    cond = F.col(keys[-1]) >= F.lit(vals[-1])
+    for k, v in zip(reversed(keys[:-1]), reversed(vals[:-1])):
+        cond = (F.col(k) > F.lit(v)) | ((F.col(k) == F.lit(v)) & cond)
+    return F.coalesce(cond, F.lit(False))
+
+
 def assign_uids_scalable(
-    repos: DataFrame, keys: list[str] | None = None, partitions: int | None = None
+    repos: DataFrame,
+    keys: list[str] | None = None,
+    partitions: int | None = None,
+    sample_per_bucket: int = 64,
 ) -> DataFrame:
     """Deterministic dense uid WITHOUT a single-partition global sort (the
-    W1 scale caveat on :func:`assign_uids`): range-partition by the natural
-    key (parallel sort), number rows with a PARTITION-LOCAL window, then add
-    broadcast per-partition offsets. Two extra jobs (range sampling +
-    partition counts), every stage parallel — the 10^12-row path.
+    W1 scale caveat on :func:`assign_uids`): bucket rows by driver-sampled
+    key-range boundaries (a DETERMINISTIC pure function of the row — fixed
+    literals, not ``repartitionByRange``'s per-execution sampler), number
+    rows with a BUCKET-LOCAL window, then add broadcast per-bucket offsets.
+    Three extra driver jobs (count, boundary sample, bucket counts), every
+    stage parallel — the 10^12-row path.
+
+    ADVICE r2 fix: the previous version derived bucket ids from
+    ``repartitionByRange`` + ``spark_partition_id``, whose sampling seed
+    changes per execution — the offsets job and the uid job saw DIFFERENT
+    layouts, duplicating/skipping uids at real sizes. Bucket ids are now
+    literal-boundary comparisons, identical in every job that evaluates
+    them; no materialization is needed for consistency. (The input itself
+    must be deterministic — true for any file-backed source.)
 
     Output is identical to ``assign_uids`` (row_number over the key order,
-    1-based) — pinned by tests.
+    1-based) — pinned by tests, including a 20k-row dense/unique check.
     """
     if "uid" in repos.columns:
         return repos
     keys = keys or ["repo", "path", "commit"]
     n = partitions or repos.sparkSession.sparkContext.defaultParallelism
-    ranged = repos.repartitionByRange(n, *[F.col(k) for k in keys])
-    pid = F.spark_partition_id()
-    local = ranged.withColumn("_pid", pid).withColumn(
+
+    boundaries: list[tuple] = []
+    if n > 1:
+        total = repos.count()
+        if total > 1:
+            frac = min(1.0, (sample_per_bucket * n) / total)
+            sampled = sorted(
+                t
+                for t in (
+                    tuple(r[k] for k in keys)
+                    for r in repos.select(*keys)
+                    .sample(fraction=frac, seed=42)
+                    .collect()
+                )
+                # null-keyed rows sort before every boundary (bucket 0 via
+                # the coalesce in _lex_ge) — never use them AS boundaries
+                if all(v is not None for v in t)
+            )
+            if sampled:
+                # n-1 split points at even sample quantiles, deduped
+                raw = [sampled[(len(sampled) * i) // n] for i in range(1, n)]
+                boundaries = sorted(set(raw))
+
+    if boundaries:
+        pid = sum(
+            (_lex_ge(keys, b).cast("int") for b in boundaries), F.lit(0)
+        ).cast("int")
+    else:
+        pid = F.lit(0)
+    local = repos.withColumn("_pid", pid).withColumn(
         "_local",
         F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
     )

@@ -46,10 +46,18 @@ def score_pairs(
     """
     spark = pairs.sparkSession
     # md5 = 128-bit content key: collision-free at any realistic corpus
-    # size, engine-portable, and 16 bytes instead of ~0.5 kB of payload
-    feats = normalized.select(
-        "uid", "token_set", "norm_text", F.md5("norm_text").alias("h")
+    # size, engine-portable, and 16 bytes instead of ~0.5 kB of payload.
+    # Keyed on the TOKEN SEQUENCE, not its space-join: the score is a pure
+    # function of norm_tokens (norm_text and token_set both derive from it),
+    # while md5(norm_text) collides across different tokenizations when a
+    # canonical dictionary symbol contains whitespace (ADVICE r2) — two rows
+    # would share a key but carry different token_sets and score wrongly.
+    key = (
+        F.md5(F.to_json("norm_tokens"))
+        if "norm_tokens" in normalized.columns
+        else F.md5(F.concat_ws("", F.to_json("token_set"), "norm_text"))
     )
+    feats = normalized.select("uid", "token_set", "norm_text", key.alias("h"))
     ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))
     hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))
     keyed = pairs.join(ha, "uid_a").join(hb, "uid_b")

@@ -32,8 +32,6 @@ unchanged (left join keeps them).
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -118,10 +116,11 @@ def clean_intra_word_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
             )
         out = []
         lens = [1] * len(pos)
-        for _, r in rows.iterrows():
-            s, e = _remap(pos, lens, int(r["start"]), int(r["end"]))
-            out.append((r["doc_id"], r["span_id"], s, e, new_text[s:e],
-                        new_text, len(pos)))
+        for did, sid, start, end in zip(
+            rows["doc_id"], rows["span_id"], rows["start"], rows["end"]
+        ):
+            s, e = _remap(pos, lens, int(start), int(end))
+            out.append((did, sid, s, e, new_text[s:e], new_text, len(pos)))
         if not out:  # span-less doc: passthrough
             out.append((pdf["doc_id"].iloc[0], None, None, None, None,
                         new_text, 0))
@@ -157,15 +156,19 @@ def mark_spans(
         # edits: (pos, tiebreak, text). tiebreak: end markers first (0),
         # then start markers outer-first (longer span = smaller rank).
         edits = []
-        for _, r in rows.iterrows():
-            s, e = int(r["start"]), int(r["end"])
+        se = [
+            (did, sid, int(start), int(end))
+            for did, sid, start, end in zip(
+                rows["doc_id"], rows["span_id"], rows["start"], rows["end"]
+            )
+        ]
+        for _, _, s, e in se:
             edits.append((s, 1, -(e - s), start_marker))
             edits.append((e, 0, (e - s), end_marker))
         edits.sort(key=lambda x: (x[0], x[1], x[2]))
         new_text = _apply_inserts(text, [(p, t) for p, _, _, t in edits])
         out = []
-        for _, r in rows.iterrows():
-            s0, e0 = int(r["start"]), int(r["end"])
+        for did, sid, s0, e0 in se:
             own_start_key = (s0, 1, -(e0 - s0))
             own_end_key = (e0, 0, (e0 - s0))
             # new start = first original char, i.e. AFTER everything placed
@@ -177,8 +180,7 @@ def mark_spans(
             e = e0 + sum(
                 len(t) for (p, tb, ln, t) in edits if (p, tb, ln) < own_end_key
             )
-            out.append((r["doc_id"], r["span_id"], s, e, new_text[s:e],
-                        new_text, len(edits)))
+            out.append((did, sid, s, e, new_text[s:e], new_text, len(edits)))
         if not len(rows):
             out.append((pdf["doc_id"].iloc[0], None, None, None, None, text, 0))
         return pd.DataFrame(
@@ -192,13 +194,30 @@ def mark_spans(
 
 SENT_COLS = "sent_id long, sent_start long, sent_end long, sent_text string"
 _BOUNDARY = (".", "!", "?")
+# known abbreviations whose trailing '.' never ends a sentence — the syntok
+# behaviors that matter for the reference corpora (segment.py:179-233 uses
+# syntok's abbreviation handling; this is the deterministic, oracle-twinnable
+# subset: pure-alpha tokens, compared lowercase)
+ABBREVIATIONS = frozenset(
+    "dr mr mrs ms prof st jr sr vs etc fig al no inc ltd cf ca approx".split()
+)
+_ABBREV_RE = r"([A-Za-z]+)$"
 
 
 def split_sentences(docs: DataFrame, spans: DataFrame | None = None) -> DataFrame:
-    """T2: segment each doc into sentences at ``[.!?] `` boundaries; a
-    boundary falling strictly inside any span is suppressed (annotation-
-    aware merging, segment.py:18-332). Output one row per sentence with doc
-    offsets: text[sent_start:sent_end] == sent_text.
+    """T2: segment each doc into sentences at ``[.!?] `` boundaries, with
+    syntok-style suppressions (reference segment.py:96-116,179-233):
+
+    - a boundary strictly inside any annotation span is suppressed
+      (annotation-aware merging);
+    - a '.' ending a known abbreviation ("Dr. Smith", "et al. 2020") does
+      not split (:data:`ABBREVIATIONS`);
+    - no split when the next character after the space is an ASCII
+      lowercase letter or digit ("3. 14", "word. continues") — sentences
+      do not start lowercase/numeric.
+
+    Output one row per sentence with doc offsets:
+    text[sent_start:sent_end] == sent_text.
     """
     if spans is not None:
         span_bounds = spans.groupBy("doc_id").agg(
@@ -211,17 +230,33 @@ def split_sentences(docs: DataFrame, spans: DataFrame | None = None) -> DataFram
         )
 
     def segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        abbrev_re = re.compile(_ABBREV_RE)
         out = []
-        for _, r in pdf.iterrows():
-            text = r["text"]
-            sp = r["_spans"] if isinstance(r["_spans"], Iterable) else []
-            ranges = [(int(s["start"]), int(s["end"])) for s in (sp or [])]
+        for doc_id, text, sp in zip(pdf["doc_id"], pdf["text"], pdf["_spans"]):
+            # applyInPandas delivers the collect_list column as a numpy
+            # ndarray — explicit length check, never truthiness (ADVICE r2:
+            # `sp or []` crashes on 2+ spans)
+            if sp is None or not hasattr(sp, "__len__") or len(sp) == 0:
+                ranges = []
+            else:
+                ranges = [(int(s["start"]), int(s["end"])) for s in sp]
             cuts = []
             for i in range(len(text) - 1):
-                if text[i] in _BOUNDARY and text[i + 1] == " ":
-                    cut = i + 1  # sentence ends after the punctuation
-                    if not any(s < cut < e for s, e in ranges):
-                        cuts.append(cut)
+                if text[i] not in _BOUNDARY or text[i + 1] != " ":
+                    continue
+                cut = i + 1  # sentence ends after the punctuation
+                if any(s < cut < e for s, e in ranges):
+                    continue
+                nxt = text[i + 2] if i + 2 < len(text) else ""
+                if "a" <= nxt <= "z" or "0" <= nxt <= "9":
+                    continue
+                if text[i] == ".":
+                    m = abbrev_re.search(text[:i])
+                    if m and m.group(1).lower() in ABBREVIATIONS:
+                        continue
+                cuts.append(cut)
             bounds = [0] + cuts + [len(text)]
             sid = 0
             for a, b in zip(bounds, bounds[1:]):
@@ -230,7 +265,7 @@ def split_sentences(docs: DataFrame, spans: DataFrame | None = None) -> DataFram
                 if not stripped:
                     continue
                 lead = len(seg) - len(seg.lstrip(" "))
-                out.append((r["doc_id"], sid, a + lead, a + lead + len(stripped),
+                out.append((doc_id, sid, a + lead, a + lead + len(stripped),
                             stripped))
                 sid += 1
         return pd.DataFrame(

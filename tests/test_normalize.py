@@ -87,3 +87,34 @@ def test_assign_uids_scalable_matches_global(spark, tiny_spark):
     assert got == want
     n = len(got)
     assert sorted(got.values()) == list(range(1, n + 1))  # dense 1..n
+
+
+def test_assign_uids_scalable_dense_at_size(spark):
+    """ADVICE r2 regression: the old repartitionByRange-derived bucket ids
+    re-sampled per job, so the offsets job and the uid job disagreed at real
+    sizes (60k rows -> 58,347 distinct uids). Bucket ids are now literal
+    boundary comparisons — dense 1..n at 20k rows, every execution."""
+    from belb_spark.operators.normalize import assign_uids_scalable
+
+    n = 20_000
+    repos = (
+        spark.range(n)
+        .selectExpr(
+            "concat('r', format_string('%06d', cast(id * 2654435761 % 999983 as int))) AS repo",
+            "concat('p', id % 97) AS path",
+            "cast(id as string) AS commit",
+        )
+        .repartition(16)
+    )
+    out = assign_uids_scalable(repos, partitions=8)
+    agg = out.agg(
+        F.countDistinct("uid").alias("d"),
+        F.min("uid").alias("lo"),
+        F.max("uid").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert (agg["d"], agg["lo"], agg["hi"], agg["n"]) == (n, 1, n, n)
+    # re-executing the SAME DataFrame (fresh jobs, fresh sampling in the old
+    # code) must reproduce the identical assignment
+    again = out.agg(F.countDistinct("uid")).collect()[0][0]
+    assert again == n

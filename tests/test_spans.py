@@ -131,17 +131,18 @@ def test_mark_spans_length_conservation(frames):
 
 
 def test_split_sentences_merges_over_spans(spark):
+    text = "First part. Second Ver. Two part. Third part"
     docs = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "doc_id": [1],
-                "text": ["first part. second ver. 2 part. third part"],
-            }
-        )
+        pd.DataFrame({"doc_id": [1], "text": [text]})
     )
-    # span covering 'ver. 2' (chars 19-25) -> that boundary must not split
+    # TWO spans per doc (ADVICE r2: the collect_list column arrives as a
+    # numpy ndarray — multi-span docs crashed the old truthiness test);
+    # span 1 covers 'Ver. Two' (chars 19-27) -> that boundary must not split
     spans = spark.createDataFrame(
-        pd.DataFrame([(1, 1, 19, 25)], columns=["doc_id", "span_id", "start", "end"])
+        pd.DataFrame(
+            [(1, 1, 19, 27), (1, 2, 0, 5)],
+            columns=["doc_id", "span_id", "start", "end"],
+        )
     )
     no_spans = split_sentences(docs)
     with_spans = split_sentences(docs, spans)
@@ -150,19 +151,42 @@ def test_split_sentences_merges_over_spans(spark):
         with_spans.collect(), key=lambda r: r["sent_id"]
     )
     assert [r["sent_text"] for r in rows] == [
-        "first part.", "second ver. 2 part.", "third part",
+        "First part.", "Second Ver. Two part.", "Third part",
     ]
     # doc-offset contract: text[sent_start:sent_end] == sent_text
-    text = docs.first()["text"]
     for r in rows:
         assert text[r["sent_start"]:r["sent_end"]] == r["sent_text"]
-    # containment join assigns the span to the merged sentence
-    assigned = assign_spans_to_sentences(with_spans, spans).collect()
-    assert len(assigned) == 1
-    a = assigned[0]
-    assert a["sent_id"] == 1
+    # containment join assigns each span to its (merged) sentence
+    assigned = {
+        a["span_id"]: a for a in assign_spans_to_sentences(with_spans, spans).collect()
+    }
+    assert len(assigned) == 2
+    assert assigned[1]["sent_id"] == 1
     sent = rows[1]["sent_text"]
-    assert sent[a["local_start"]:a["local_end"]] == "ver. 2"
+    assert sent[assigned[1]["local_start"]:assigned[1]["local_end"]] == "Ver. Two"
+    assert assigned[2]["sent_id"] == 0
+
+
+def test_split_sentences_syntok_rules(spark):
+    """Abbreviation / digit / lowercase-continuation suppressions
+    (reference segment.py:179-233 syntok behaviors)."""
+    cases = {
+        1: ("Dr. Smith arrived. He sat.", ["Dr. Smith arrived.", "He sat."]),
+        2: ("Pi is 3. 14 ish. True.", ["Pi is 3. 14 ish.", "True."]),
+        3: ("it ends. then continues. Done.", ["it ends. then continues.", "Done."]),
+        4: ("See fig. 2 and et al. for more. Yes!", ["See fig. 2 and et al. for more.", "Yes!"]),
+        5: ("Really? Yes! Sure.", ["Really?", "Yes!", "Sure."]),
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(cases), "text": [t for t, _ in cases.values()]}
+        )
+    )
+    got: dict[int, list[str]] = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_id"], r["sent_text"]))
+    for did, (_, want) in cases.items():
+        assert [t for _, t in sorted(got[did])] == want, did
 
 
 def test_rewrite_is_single_python_stage(frames):
