@@ -296,6 +296,51 @@ def q_spans_mark(spark, sf_dir):
     )
 
 
+def q_spans_sentences(spark, sf_dir):
+    """T2 SplitIntoSentences over a deterministically punctuated text (the
+    corpus text itself has no sentence punctuation): exercises the real
+    split, abbreviation suppression ('Dr.', 'vs.'), digit suppression
+    ('3. 14'), lowercase-continuation suppression ('rose! <lowercase>'),
+    and span-overlap merging (span [40,50) straddles the '. Then' cut). The
+    oracle re-implements the full boundary rule generically in SQL."""
+    from belb_spark.operators.spans import split_sentences
+
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= 48)
+    text2 = F.concat(
+        F.lit("Dr. Who saw "),
+        F.substring("text", 1, 30),
+        F.lit(". Then vs. 3. 14 rose! "),
+        F.substring("text", 31, 40),
+        F.lit("? End here. Yes."),
+    )
+    docs2 = docs.select("doc_id", text2.alias("text"))
+    spans = docs2.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("span_id"),
+                    F.lit(40).cast("long").alias("start"),
+                    F.lit(50).cast("long").alias("end"),
+                ),
+                F.struct(
+                    F.lit(1).cast("long").alias("span_id"),
+                    F.lit(5).cast("long").alias("start"),
+                    F.lit(9).cast("long").alias("end"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.*")
+    out = split_sentences(docs2, spans)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("sent_id").cast("long"),
+        F.col("sent_start").cast("long"),
+        F.col("sent_end").cast("long"),
+        "sent_text",
+    )
+
+
 def q_text_quality(spark, sf_dir):
     out = text_quality(_docs(spark, sf_dir), "doc_id", "text")
     return out.select(
@@ -325,6 +370,93 @@ def q_fingerprint(spark, sf_dir):
     return doc_fingerprint(_docs(spark, sf_dir), "doc_id", "text", 4).select(
         F.col("doc_id").cast("long"), "fingerprint"
     )
+
+
+# --------------------------------------------------- source-format queries
+# Fixture files (scripts/make_source_fixtures.py — deterministic, committed)
+# give every bespoke reader an oracle row: the Spark side exercises the real
+# reader (Hadoop record delimiter, stdlib-XML mapInPandas), the DuckDB twin
+# re-parses the same bytes (or, for BioC, the JSON serialization of the same
+# collection) with SQL string/JSON functions.
+import pathlib as _pathlib
+
+FIXTURES = str(_pathlib.Path(__file__).resolve().parent / "tests" / "fixtures")
+
+
+def q_src_kv_records(spark, sf_dir):
+    """S4 multi-line ``//``-terminated records + key-value line parsing
+    (Cellosaurus style, readers.read_delimited_records + parse_kv_records)."""
+    from belb_spark.sources.readers import parse_kv_records, read_delimited_records
+
+    recs = read_delimited_records(spark, f"{FIXTURES}/records.txt", "\n//\n")
+    kv = parse_kv_records(recs)
+    m = kv.groupBy("rid").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("k", F.col("vals")[0].alias("v")))
+        ).alias("m")
+    )
+    return m.select(
+        F.col("m")["ID"].alias("name"),
+        F.col("m")["AC"].alias("ac"),
+        F.col("m")["SY"].alias("sy"),
+        F.col("m")["CA"].alias("ca"),
+    )
+
+
+def q_src_block_records(spark, sf_dir):
+    """S7 blank-line-delimited block scan (PubTator style)."""
+    from belb_spark.sources.readers import read_delimited_records
+
+    recs = read_delimited_records(spark, f"{FIXTURES}/blocks.txt", "\n\n")
+    lines = recs.select(F.explode(F.split("record", "\n")).alias("line")).filter(
+        F.trim("line") != ""
+    )
+    p = F.split("line", r"\|", 3)
+    return lines.select(
+        p[0].cast("long").alias("pmid"), p[1].alias("kind"), p[2].alias("text")
+    )
+
+
+def q_src_bioc_passages(spark, sf_dir):
+    """S8 BioC scan: Spark parses the XML serialization, the oracle parses
+    the JSON serialization of the SAME collection — agreement checks the
+    parser. Annotations roll up to a deterministic per-passage digest."""
+    from belb_spark.sources.readers import read_bioc
+
+    p = read_bioc(spark, f"{FIXTURES}/bioc.xml", fmt="xml")
+    ann_strs = F.transform(
+        "annotations",
+        lambda a: F.concat_ws(
+            ":", a["ann_id"], a["start"], a["end"], a["text"], a["entity_type"]
+        ),
+    )
+    return p.select(
+        "doc_id",
+        F.col("passage_idx").cast("long"),
+        F.col("offset").cast("long"),
+        "text",
+        F.size("annotations").cast("long").alias("n_anns"),
+        F.md5(F.concat_ws("~", F.array_sort(ann_strs))).alias("anns_digest"),
+    )
+
+
+def q_src_tsv_gz(spark, sf_dir):
+    """S1 gzip TSV scan with explicit schema (no inference pass)."""
+    from belb_spark.sources.readers import read_tsv
+
+    return read_tsv(
+        spark, f"{FIXTURES}/table.tsv.gz", schema="k long, name string, grp string"
+    ).select(F.col("k").cast("long"), "name", "grp")
+
+
+def q_src_rrf_pipe(spark, sf_dir):
+    """S6 RRF pipe-delimited scan (UMLS MRCONSO style, trailing delimiter)."""
+    from belb_spark.sources.readers import read_delimited
+
+    df = read_delimited(
+        spark, f"{FIXTURES}/rrf.txt", "|", columns=["cui", "lat", "code", "term"]
+    )
+    return df.select("cui", "lat", F.col("code").cast("long"), "term")
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -428,7 +560,7 @@ def q_doc_chunking(spark, sf_dir):
 
 def q_group_similarity(spark, sf_dir):
     return R.group_similarity_stats(spark, sf_dir).select(
-        "lang", F.col("n_pairs").cast("long"), F.col("total_lev").cast("long")
+        "lang", F.col("n_pairs").cast("long"), F.col("total_ratio_ppm").cast("long")
     )
 
 
@@ -511,6 +643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_overlap_anti": q_events_overlap_anti,
         "spans_clean_iwm": q_spans_clean_iwm,
         "spans_mark": q_spans_mark,
+        "spans_sentences": q_spans_sentences,
+        "src_kv_records": q_src_kv_records,
+        "src_block_records": q_src_block_records,
+        "src_bioc_passages": q_src_bioc_passages,
+        "src_tsv_gz": q_src_tsv_gz,
+        "src_rrf_pipe": q_src_rrf_pipe,
         "min_code_assembly": q_min_code_assembly,
     }
 
@@ -925,6 +1063,9 @@ c AS (
 SELECT doc_id::BIGINT AS doc_id, chunk_idx::BIGINT AS chunk_idx, chunk_text FROM c
 """
 
+    # indel-normalized ratio in ppm (Levenshtein.ratio semantics, reference
+    # stats.py:203-216): identical double per pair both engines, exact
+    # BIGINT sum — no float-accumulation drift
     sql["group_similarity_stats"] = """
 WITH top AS (
   SELECT lang, doc_id, substr(text, 1, 60) AS t,
@@ -932,7 +1073,10 @@ WITH top AS (
   FROM documents
 )
 SELECT a.lang, count(*)::BIGINT AS n_pairs,
-       sum(levenshtein(a.t, b.t))::BIGINT AS total_lev
+       sum(CASE WHEN len(a.t) + len(b.t) = 0 THEN 1000000
+            ELSE round(1000000.0 * (1 - levenshtein(a.t, b.t)::DOUBLE /
+                                        (len(a.t) + len(b.t))))::BIGINT
+       END)::BIGINT AS total_ratio_ppm
 FROM top a JOIN top b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE a.rn <= 8 AND b.rn <= 8
 GROUP BY a.lang
@@ -1039,6 +1183,64 @@ SELECT doc_id::BIGINT, 1::BIGINT, 35::BIGINT, 43::BIGINT, t1, text_md5
 FROM n
 """
 
+    # T2 oracle: generic re-implementation of the sentence boundary rule —
+    # candidate cut at '[.!?] ', suppressed inside spans [40,50)/[5,9), by a
+    # lowercase/digit continuation, or by a known abbreviation before '.'
+    # (same list as spans.ABBREVIATIONS); sentences reassembled with window
+    # lead() + space-trim offset arithmetic
+    _abbrevs = "'dr','mr','mrs','ms','prof','st','jr','sr','vs','etc','fig','al','no','inc','ltd','cf','ca','approx'"
+    sql["spans_sentences"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         'Dr. Who saw ' || substr(text, 1, 30) || '. Then vs. 3. 14 rose! '
+         || substr(text, 31, 40) || '? End here. Yes.' AS text
+  FROM documents WHERE n_chars >= 48
+),
+pos AS (
+  SELECT doc_id, text, i AS p
+  FROM d, (SELECT unnest(range(1, 200)) AS i) ix
+  WHERE i < len(text)
+),
+cand AS (
+  SELECT doc_id, text, p
+  FROM pos
+  WHERE substr(text, p, 1) IN ('.', '!', '?')
+    AND substr(text, p + 1, 1) = ' '
+    AND NOT (p > 40 AND p < 50)
+    AND NOT (p > 5 AND p < 9)
+    AND NOT regexp_matches(substr(text, p + 2, 1), '^[a-z0-9]$')
+    AND NOT (substr(text, p, 1) = '.'
+             AND lower(regexp_extract(substr(text, 1, p - 1), '([A-Za-z]+)$', 1))
+                 IN ({_abbrevs}))
+),
+bnds AS (
+  SELECT doc_id, text, 0 AS c FROM d
+  UNION ALL SELECT doc_id, text, len(text) FROM d
+  UNION ALL SELECT doc_id, text, p FROM cand
+),
+seg AS (
+  SELECT doc_id, text, c AS a,
+         lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS b
+  FROM bnds
+),
+s2 AS (
+  SELECT doc_id, a, substr(text, a + 1, b - a) AS seg
+  FROM seg WHERE b IS NOT NULL
+),
+s3 AS (
+  SELECT doc_id, a,
+         trim(seg, ' ') AS stripped,
+         len(seg) - len(ltrim(seg, ' ')) AS lead_n
+  FROM s2 WHERE trim(seg, ' ') <> ''
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1)::BIGINT AS sent_id,
+       (a + lead_n)::BIGINT AS sent_start,
+       (a + lead_n + len(stripped))::BIGINT AS sent_end,
+       stripped AS sent_text
+FROM s3
+"""
+
     sql["min_code_assembly"] = """
 WITH d AS (
   SELECT user_id AS identifier, event_type AS name,
@@ -1060,6 +1262,64 @@ SELECT identifier::BIGINT AS identifier, name,
        (CASE WHEN has_symbol = 0 AND name = min_name THEN 0
              ELSE description END)::BIGINT AS description
 FROM flagged
+"""
+
+    # --- source-format twins (fixture files, absolute repo paths) ---
+    sql["src_kv_records"] = f"""
+WITH raw AS (SELECT content FROM read_text('{FIXTURES}/records.txt')),
+rec AS (SELECT unnest(string_split(content, '\n//\n')) AS r FROM raw),
+rec2 AS (SELECT r FROM rec WHERE trim(r) <> ''),
+lines AS (SELECT r, unnest(string_split(r, chr(10))) AS line FROM rec2),
+kv AS (
+  SELECT r, regexp_extract(line, '^(\\S+)', 1) AS k,
+         trim(regexp_replace(line, '^\\S+\\s*', '')) AS v
+  FROM lines WHERE trim(line) <> ''
+)
+SELECT max(CASE WHEN k = 'ID' THEN v END) AS name,
+       max(CASE WHEN k = 'AC' THEN v END) AS ac,
+       max(CASE WHEN k = 'SY' THEN v END) AS sy,
+       max(CASE WHEN k = 'CA' THEN v END) AS ca
+FROM kv GROUP BY r
+"""
+
+    sql["src_block_records"] = f"""
+WITH raw AS (SELECT content FROM read_text('{FIXTURES}/blocks.txt')),
+blk AS (SELECT unnest(string_split(content, chr(10) || chr(10))) AS b FROM raw),
+lines AS (
+  SELECT unnest(string_split(b, chr(10))) AS line
+  FROM blk WHERE trim(b) <> ''
+),
+p AS (SELECT string_split(line, '|') AS l FROM lines WHERE trim(line) <> '')
+SELECT l[1]::BIGINT AS pmid, l[2] AS kind, l[3] AS text FROM p
+"""
+
+    sql["src_bioc_passages"] = f"""
+WITH c AS (
+  SELECT unnest(documents) AS doc FROM read_json('{FIXTURES}/bioc.json')
+),
+p AS (
+  SELECT doc.id AS doc_id, i - 1 AS passage_idx, doc.passages[i] AS ps
+  FROM c, (SELECT unnest(range(1, 50)) AS i) ix
+  WHERE i <= len(doc.passages)
+)
+SELECT doc_id, passage_idx::BIGINT AS passage_idx,
+       (ps.offset)::BIGINT AS offset, ps.text AS text,
+       coalesce(len(ps.annotations), 0)::BIGINT AS n_anns,
+       md5(coalesce(array_to_string(list_sort(list_transform(ps.annotations,
+           a -> a.id || ':' || (a.locations[1].offset)::BIGINT::VARCHAR || ':'
+             || ((a.locations[1].offset) + (a.locations[1].length))::BIGINT::VARCHAR
+             || ':' || a.text || ':' || a.infons."type")), '~'), '')) AS anns_digest
+FROM p
+"""
+
+    sql["src_tsv_gz"] = f"""
+SELECT k::BIGINT AS k, name, grp
+FROM read_csv('{FIXTURES}/table.tsv.gz', delim='\t', header=true)
+"""
+
+    sql["src_rrf_pipe"] = f"""
+SELECT column0 AS cui, column1 AS lat, column2::BIGINT AS code, column3 AS term
+FROM read_csv('{FIXTURES}/rrf.txt', delim='|', header=false)
 """
 
     sql["events_asof_signup"] = """

@@ -272,9 +272,17 @@ def doc_chunking(spark: SparkSession, sf_dir: str, chunk: int = 20) -> DataFrame
 
 
 def group_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13/X7: mean pairwise Levenshtein over within-group combinations
-    (belb/scripts/stats.py:203-250) — per lang, over the 8 shortest docs
-    (prefix-clipped), using the built-in levenshtein."""
+    """A13/X7: pairwise similarity ratio over within-group combinations
+    (belb/scripts/stats.py:203-216 uses ``Levenshtein.ratio`` — a
+    length-normalized similarity, not a raw distance) — per lang, over the
+    8 shortest docs (prefix-clipped).
+
+    Ratio semantics: ``1 - lev(a,b)/(len(a)+len(b))`` — the indel-normalized
+    family of Levenshtein.ratio, built from the JVM ``levenshtein``. Output
+    is the SUM of the ratio in parts-per-million as BIGINT: both engines
+    compute the identical double per pair (integer inputs, same ops) and
+    integer sums are order-independent, so the oracle hash-matches without
+    float-accumulation drift. Two empty strings ratio as 1.0."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     top = (
@@ -285,9 +293,13 @@ def group_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = top.select("lang", F.col("doc_id").alias("id_a"), F.col("t").alias("t_a"))
     b = top.select("lang", F.col("doc_id").alias("id_b"), F.col("t").alias("t_b"))
     pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    lensum = F.length("t_a") + F.length("t_b")
+    ratio_ppm = F.when(lensum == 0, F.lit(1_000_000).cast("long")).otherwise(
+        F.round(F.lit(1e6) * (1 - F.levenshtein("t_a", "t_b") / lensum), 0).cast("long")
+    )
     return pairs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.levenshtein("t_a", "t_b")).alias("total_lev"),
+        F.sum(ratio_ppm).alias("total_ratio_ppm"),
     )
 
 

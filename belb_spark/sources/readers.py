@@ -85,11 +85,17 @@ def read_delimited_records(
 
 def parse_kv_records(records: DataFrame, kv_sep: str = r"\s+") -> DataFrame:
     """Key-value line parsing inside multi-line records (Cellosaurus-style
-    ``ID   value`` lines): record -> map<key, array<values>>. Pure JVM."""
-    lines = records.select(
-        F.monotonically_increasing_id().alias("rid"),
-        F.explode(F.split("record", "\n")).alias("line"),
-    ).filter(F.trim("line") != "")
+    ``ID   value`` lines): record -> map<key, array<values>>. Pure JVM.
+
+    The record id is assigned BEFORE the line explode — inside a projection
+    that also contains a generator, ``monotonically_increasing_id`` runs per
+    OUTPUT row, silently keying every line as its own record (caught by the
+    src_kv_records oracle row, r3)."""
+    lines = (
+        records.withColumn("rid", F.monotonically_increasing_id())
+        .select("rid", F.explode(F.split("record", "\n")).alias("line"))
+        .filter(F.trim("line") != "")
+    )
     kv = lines.select(
         "rid",
         F.regexp_extract("line", r"^(\S+)", 1).alias("k"),
