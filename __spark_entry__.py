@@ -177,10 +177,11 @@ def q_min_code_assembly(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: SRP-bucket blocking + exact cosine
-    verify (the vector twin of minhash-LSH dedup)."""
+    """Embedding-cosine near-dup pairs: SRP-bucket blocking over TWO unioned
+    plane sets (LSH band tables for vectors) + exact cosine verify (the
+    vector twin of minhash-LSH dedup)."""
     out = embedding_cosine_pairs(
-        _emb(spark, sf_dir), min_cosine=0.2, n_planes=8, dim=64
+        _emb(spark, sf_dir), min_cosine=0.2, n_planes=8, dim=64, n_tables=2
     )
     return out.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
@@ -772,8 +773,8 @@ SELECT doc_id::BIGINT AS doc_id, ({bits})::BIGINT AS simhash FROM sums
 """
 
 
-def _srp_bucket_expr() -> str:
-    ws = srp_weights(8, 64)
+def _srp_bucket_expr(table: int = 0) -> str:
+    ws = srp_weights(8, 64, table)
     terms = []
     for p, w in enumerate(ws):
         arr = "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]"
@@ -868,17 +869,21 @@ FROM r WHERE rank <= 5
     sql["ann_srp_buckets"] = _srp_sql()
     sql["ann_srp_topk"] = _srp_topk_sql()
 
+    # two unioned SRP plane sets (LSH band tables): candidates share a
+    # bucket in EITHER table, deduped, then exact-cosine verified
     sql["dedup_embedding_cosine"] = f"""
 WITH b AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         ({_srp_bucket_expr()}) AS bucket
+         ({_srp_bucket_expr(0)}) AS bucket0,
+         ({_srp_bucket_expr(1)}) AS bucket1
   FROM embeddings
 ),
 c AS (
   SELECT a.vec_id AS id_a, x.vec_id AS id_b,
          round(list_inner_product(a.v, x.v) /
                (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(x.v, x.v))), 3) AS cosine
-  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+  FROM b a JOIN b x
+    ON (a.bucket0 = x.bucket0 OR a.bucket1 = x.bucket1) AND a.vec_id < x.vec_id
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, cosine
 FROM c WHERE cosine >= 0.2

@@ -143,12 +143,10 @@ def candidate_pairs_salted(
 
     # hot blocks: salt members; replicate anchors to every salt bucket
     hot = ranked.filter(F.col("bn") > cfg.full_join_max)
-    n_salts = F.greatest(
-        F.lit(1), F.ceil(F.col("bn") / F.lit(rows_per_salt)).cast("int")
+    n_salts = _n_salts(rows_per_salt)
+    members = _salted_hot_members(hot, rows_per_salt).select(
+        "block_key", "salt", F.col("uid").alias("uid_b")
     )
-    members = hot.withColumn(
-        "salt", F.pmod(F.xxhash64("uid"), n_salts).cast("int")
-    ).select("block_key", "salt", F.col("uid").alias("uid_b"))
     anchors = (
         hot.filter(F.col("rn") <= cfg.anchor_rank)
         .withColumn("salt_arr", F.sequence(F.lit(0), n_salts - 1))
@@ -167,6 +165,36 @@ def candidate_pairs_salted(
         )
     )
     return small_pairs.unionByName(hot_pairs).distinct()
+
+
+def _n_salts(rows_per_salt: int):
+    return F.greatest(F.lit(1), F.ceil(F.col("bn") / F.lit(rows_per_salt)).cast("int"))
+
+
+def _salted_hot_members(hot: DataFrame, rows_per_salt: int) -> DataFrame:
+    """Attach the deterministic salt bucket to hot-block member rows."""
+    return hot.withColumn(
+        "salt", F.pmod(F.xxhash64("uid"), _n_salts(rows_per_salt)).cast("int")
+    )
+
+
+def salt_distribution(
+    blocks: DataFrame, cfg: PairsConfig = PairsConfig(), rows_per_salt: int = 512
+) -> DataFrame:
+    """Members per (block_key, salt) reducer group for the HOT tier — the
+    observable skew bound behind :func:`candidate_pairs_salted`: after
+    salting, no join task reads a group materially bigger than
+    ``rows_per_salt`` (hash jitter aside), no matter how hot the key. One
+    row per group: (block_key, salt, members)."""
+    if dict(blocks.dtypes).get("block_key") == "string":
+        blocks = blocks.filter(~F.col("block_key").startswith("exact:"))
+    ranked = _rank_and_size(blocks)
+    hot = ranked.filter(F.col("bn") > cfg.full_join_max)
+    return (
+        _salted_hot_members(hot, rows_per_salt)
+        .groupBy("block_key", "salt")
+        .agg(F.count(F.lit(1)).alias("members"))
+    )
 
 
 def pair_stats(blocks: DataFrame, cfg: PairsConfig = PairsConfig()) -> DataFrame:

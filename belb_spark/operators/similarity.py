@@ -65,11 +65,23 @@ def cosine_topk(
     )
 
 
-def srp_weights(n_planes: int, dim: int) -> list[list[float]]:
+def srp_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic integer hyperplane weights in [-6, 6] — reproducible in
-    any engine from the same formula (no RNG state)."""
+    any engine from the same formula (no RNG state). ``table`` selects an
+    independent plane set (plane index offset by table*n_planes), the
+    LSH-band-table analogue for SRP: unioning tables multiplies recall on
+    the near-dup band exactly like MinHash band tables."""
+    # table enters through a second incommensurate term (mod-11 stride), not
+    # a plane-index offset — a plain offset is periodic mod 13 and table 1
+    # would repeat three of table 0's planes
     return [
-        [float(((i * (p + 3) + 5 * p + 7) % 13) - 6) for i in range(dim)]
+        [
+            float(
+                ((i * (p + 3) + 5 * p + 7 + table * ((3 * i + 2 * p + 5) % 11)) % 13)
+                - 6
+            )
+            for i in range(dim)
+        ]
         for p in range(n_planes)
     ]
 
@@ -80,10 +92,11 @@ def srp_lsh_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """(vec_id, bucket): b-bit sign pattern of fixed hyperplane projections."""
     v = F.col(vec_col).cast("array<double>")
-    weights = srp_weights(n_planes, dim)
+    weights = srp_weights(n_planes, dim, table)
     bucket = None
     for p, w in enumerate(weights):
         wcol = F.array(*[F.lit(x) for x in w])
@@ -102,27 +115,39 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 3,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share an SRP
-    bucket (bucket-equi self-join — the blocking step, no cross join), then
-    exact cosine verification ≥ min_cosine. Output (id_a, id_b, cosine).
+    bucket in ANY of ``n_tables`` independent plane sets (bucket-equi
+    self-join — the blocking step, no cross join), then exact cosine
+    verification ≥ min_cosine. Output (id_a, id_b, cosine).
 
     Same shape as MinHash-LSH dedup but over the vector column: at 100 TB
-    the bucket is the shuffle key and a bucket is a tiny fraction of the
-    corpus. Recall is the SRP collision probability (1 - θ/π)^planes on the
-    near-dup band — raise recall with multiple plane sets unioned, exactly
-    like LSH band tables.
+    the (table, bucket) key is the shuffle key and a bucket is a tiny
+    fraction of the corpus. Single-table recall on the near-dup band is the
+    SRP collision probability (1 - θ/π)^planes; unioning tables raises it
+    to 1 - (1 - (1-θ/π)^planes)^tables, exactly like MinHash band tables
+    (pinned by a recall test on deterministic near-dup vectors).
     """
+    from functools import reduce
+
     from belb_spark.operators.pairs import PairsConfig, candidate_pairs_salted
 
-    b = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
-    # slim (id, bucket) self-join through the shared anchor-capped + salted
-    # pair builder: a degenerate embedding set collapsing into one bucket
-    # cannot go O(n²) on a single reducer (same defense as the text-dedup
-    # family); buckets ≤ full_join_max keep exhaustive all-pairs semantics
-    blocks = b.select(
-        F.col("vec_id").alias("uid"), F.col("bucket").alias("block_key")
-    )
+    # slim (id, table<<planes | bucket) self-join through the shared
+    # anchor-capped + salted pair builder: a degenerate embedding set
+    # collapsing into one bucket cannot go O(n²) on a single reducer (same
+    # defense as the text-dedup family); buckets ≤ full_join_max keep
+    # exhaustive all-pairs semantics. The table id rides the high bits of
+    # the (long) block key, so one builder pass covers all tables and the
+    # final distinct dedupes pairs found by several tables.
+    per_table = [
+        srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col, table=t).select(
+            F.col("vec_id").alias("uid"),
+            (F.col("bucket") + F.lit(t << n_planes)).alias("block_key"),
+        )
+        for t in range(n_tables)
+    ]
+    blocks = reduce(lambda a, b: a.unionByName(b), per_table)
     cand = candidate_pairs_salted(blocks, PairsConfig()).select(
         F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
     )

@@ -46,3 +46,40 @@ def test_pipeline_tuned_run(spark, tiny_spark):
     )
     assert "tuned_threshold" in res.metrics
     assert res.metrics["eval"]["test"]["f1"] >= 0.99
+
+
+def test_pipeline_salted_end_to_end_with_hot_blocks(spark):
+    """VERDICT r2 #6: run the WHOLE pipeline with pairs_strategy='salted' on
+    a corpus with hot prototypes (datagen SMALL: 4 prototypes with ~100
+    members each), and assert (a) quality parity with the capped strategy
+    and (b) the observable skew bound: after salting, no candidate-join
+    reducer group exceeds ~rows_per_salt members."""
+    from belb_spark.datagen import SMALL, generate
+    from belb_spark.operators.blocking import block_keys
+    from belb_spark.operators.normalize import normalize
+    from belb_spark.operators.pairs import PairsConfig, salt_distribution
+    from belb_spark.pipeline import ERConfig, run_pipeline
+
+    tables = generate(SMALL)
+    repos = spark.createDataFrame(tables["repos"])
+    syn = spark.createDataFrame(tables["synonym_dict"])
+    labeled = spark.createDataFrame(tables["labeled_pairs"])
+
+    salted = run_pipeline(
+        spark, repos, syn, labeled, cfg=ERConfig(pairs_strategy="salted")
+    )
+    assert salted.metrics["eval"]["test"]["f1"] >= 0.99
+    capped = run_pipeline(
+        spark, repos, syn, labeled, cfg=ERConfig(pairs_strategy="capped")
+    )
+    assert salted.metrics["eval"]["all"]["f1"] == capped.metrics["eval"]["all"]["f1"]
+
+    # skew bound on the real blocking keys of this corpus, with a salt
+    # granularity small enough to force splitting of the hot blocks
+    rows_per_salt = 32
+    blocks = block_keys(normalize(repos, syn))
+    dist = salt_distribution(blocks, PairsConfig(), rows_per_salt).toPandas()
+    assert len(dist) > 0  # hot tier non-empty: the prototypes ARE hot
+    assert dist["members"].max() <= 2 * rows_per_salt
+    # and the hot blocks genuinely split across several reducer groups
+    assert (dist.groupby("block_key")["salt"].nunique() > 1).any()
