@@ -81,6 +81,9 @@ class StageResult:
     # stage was written with partition_by — row-count metrics per slice come
     # from parquet footers, never from an extra count() job
     partition_rows: dict[str, int] = field(default_factory=dict)
+    # async mode only: True while the parquet write is still in flight on a
+    # background thread (df is the persisted build, not the read-back)
+    pending: bool = False
 
 
 class CheckpointStore:
@@ -89,6 +92,7 @@ class CheckpointStore:
         self.base = pathlib.Path(base_dir)
         self.base.mkdir(parents=True, exist_ok=True)
         self.log: list[dict[str, Any]] = []
+        self._pending: list[tuple] = []
 
     def _paths(self, name: str) -> tuple[pathlib.Path, pathlib.Path]:
         return self.base / name, self.base / f"{name}.manifest.json"
@@ -155,10 +159,165 @@ class CheckpointStore:
         self.log.append({"stage": name, "resumed": False, **manifest})
         return StageResult(out, rows, False, time.time() - t0, partition_rows)
 
+    def run_async(
+        self,
+        name: str,
+        signature: str,
+        build: Callable[[], DataFrame],
+        extra_metrics: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> StageResult:
+        """Like :meth:`run`, but the parquet write happens on a background
+        thread while the caller proceeds with downstream compute off the
+        PERSISTED build DataFrame (one materializing count job, then the
+        write scans the cache). Atomicity is unchanged: the manifest is
+        written only after the parquet commit, so a crash mid-write leaves a
+        resumable (rebuild-from-scratch) stage. Call :meth:`finish` before
+        relying on durability or per-partition lineage — it joins every
+        in-flight write, appends the manifests to the log, and releases the
+        persisted builds.
+
+        Resume fast-path is identical to :meth:`run` (read-back df, nothing
+        persisted, nothing pending)."""
+        data_dir, manifest_path = self._paths(name)
+        t0 = time.time()
+        if manifest_path.exists():
+            manifest = json.loads(manifest_path.read_text())
+            if manifest.get("signature") == signature:
+                df = self.spark.read.parquet(str(data_dir))
+                self.log.append({"stage": name, "resumed": True, **manifest})
+                return StageResult(
+                    df,
+                    manifest["rows"],
+                    True,
+                    time.time() - t0,
+                    manifest.get("partition_rows", {}),
+                )
+            manifest_path.unlink()
+            shutil.rmtree(data_dir, ignore_errors=True)
+
+        df = build().persist()
+        rows = df.count()  # materialize the cache; downstream + write share it
+
+        def _write() -> dict[str, Any]:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(str(data_dir))
+            import pyarrow.parquet as pq
+
+            lineage = []
+            partition_rows: dict[str, int] = {}
+            wrote = 0
+            for p in sorted(data_dir.rglob("*.parquet")):
+                n = pq.ParquetFile(p).metadata.num_rows
+                wrote += n
+                rel = p.relative_to(data_dir)
+                lineage.append(
+                    {"file": str(rel), "bytes": p.stat().st_size, "rows": n}
+                )
+                if len(rel.parts) > 1:
+                    key = "/".join(rel.parts[:-1])
+                    partition_rows[key] = partition_rows.get(key, 0) + n
+            manifest = {
+                "signature": signature,
+                "rows": wrote,
+                "partitions": lineage,
+                "partition_rows": partition_rows,
+                "metrics": extra_metrics or {},
+                "committed_at": time.time(),
+                "wall_sec": time.time() - t0,
+            }
+            manifest_path.write_text(json.dumps(manifest, indent=2))
+            return manifest
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not hasattr(self, "_pool"):
+            self._pool = ThreadPoolExecutor(max_workers=2)
+        fut = self._pool.submit(_write)
+        self._pending.append((name, df, fut))
+        return StageResult(df, rows, False, time.time() - t0, {}, pending=True)
+
+    def finish(self) -> dict[str, dict[str, Any]]:
+        """Join all in-flight async writes, log their manifests, release the
+        persisted builds. Returns {stage: manifest}."""
+        out: dict[str, dict[str, Any]] = {}
+        for name, df, fut in self._pending:
+            manifest = fut.result()
+            self.log.append({"stage": name, "resumed": False, **manifest})
+            df.unpersist()
+            out[name] = manifest
+        self._pending = []
+        return out
+
     def invalidate(self, name: str) -> None:
         data_dir, manifest_path = self._paths(name)
         manifest_path.unlink(missing_ok=True)
         shutil.rmtree(data_dir, ignore_errors=True)
+
+    def metrics_table(self) -> list[dict[str, Any]]:
+        return [
+            {
+                "stage": e["stage"],
+                "rows": e.get("rows"),
+                "resumed": e.get("resumed"),
+                "wall_sec": e.get("wall_sec"),
+                **(e.get("metrics") or {}),
+            }
+            for e in self.log
+        ]
+
+
+class EphemeralStore:
+    """Checkpoint-free stage runner with the CheckpointStore interface:
+    stages materialize into executor cache (persist + one count job) instead
+    of parquet — no disk writes, no resume. Exists for (a) ephemeral
+    one-shot pipelines and (b) the scaling decomposition experiment: the
+    wall-clock delta vs the parquet-backed store measures exactly the
+    checkpoint I/O that is per-node on a real cluster but serial on one box
+    (BENCH/BASELINE.md)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.log: list[dict[str, Any]] = []
+        self._persisted: list[DataFrame] = []
+
+    def run(
+        self,
+        name: str,
+        signature: str,
+        build: Callable[[], DataFrame],
+        extra_metrics: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> StageResult:
+        t0 = time.time()
+        df = build().persist()
+        rows = df.count()
+        wall = time.time() - t0
+        self._persisted.append(df)
+        self.log.append(
+            {
+                "stage": name,
+                "resumed": False,
+                "rows": rows,
+                "wall_sec": wall,
+                "metrics": extra_metrics or {},
+            }
+        )
+        return StageResult(df, rows, False, wall)
+
+    run_async = run  # no write to overlap; persist+count IS the stage
+
+    def finish(self) -> dict[str, dict[str, Any]]:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+        return {}
+
+    def invalidate(self, name: str) -> None:
+        pass
 
     def metrics_table(self) -> list[dict[str, Any]]:
         return [

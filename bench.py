@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "ann_srp_topk",
     "text_fingerprint",
     "events_overlap_join",
+    "spans_sentences",
+    "dedup_embedding_cosine",
     "tpch_q1_agg",
     "join_star_revenue",
     "window_running_total",

