@@ -110,6 +110,63 @@ def bucket_pair_stats(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
     return pair_stats(blocks, cfg)
 
 
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
+    """Slim (id, s) table of per-doc DISTINCT shingles, explicitly
+    repartitioned by id. The repartition is load-bearing: every consumer
+    (minhash sigs, bucket keys, sizes, intersection counts) builds on this
+    exact exchange, so AQE's ReusedExchange evaluates the tokenize+shingle
+    expressions ONCE and all consumers read the shuffled slim rows — the
+    lazy-plan alternative to persisting the shingle-array base (which
+    re-evaluated the shingles per consumer branch: 2-3× the query wall)."""
+    # the explicit isnotnull matches the predicate the downstream inner
+    # joins infer and push into THEIR branch's scan — without it the scan
+    # DataFilters differ, the exchange subtrees stop being canonically
+    # equal, and the reuse silently splits into two evaluations
+    ex = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_col(tokens_col(text_col), width)).alias("s"),
+    )
+    ex = ex.repartition(F.col("id"))
+    # per-doc shingle-set size rides along every row via a window over the
+    # SAME partitioning (no extra exchange, no separate groupBy consumer —
+    # a separate sizes aggregate pruned `s` below the repartition, making
+    # the exchange children diverge and killing the reuse)
+    return ex.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+
+
+def _jaccard_from_exploded(pairs: DataFrame, ex: DataFrame, min_jaccard: float) -> DataFrame:
+    """True shingle-set Jaccard per candidate pair, computed from the slim
+    exploded table by intersection COUNTING — no shingle-array re-join:
+    |A∩B| = matching (id_a, id_b, s) rows, |A∪B| = |A| + |B| − |A∩B|.
+    Exact (raw shingle strings, no hashing) and identical to the DuckDB
+    oracle's set semantics; shingles_col already emits distinct shingles.
+    Candidate pairs always share ≥1 shingle (their bucket), so the inner
+    intersection join loses nothing; a hypothetical 0-intersection pair
+    would be dropped (only observable at min_jaccard == 0)."""
+    joined = (
+        pairs.join(
+            ex.select(F.col("id").alias("id_a"), "s", F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            ex.select(F.col("id").alias("id_b"), "s", F.col("sz").alias("sz_b")),
+            ["id_b", "s"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+    )
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        joined.withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
     """Eagerly materialize the (small) result with a reliable checkpoint,
     then release the cached shingle base — no persisted RDDs outlive the
@@ -151,41 +208,29 @@ def minhash_lsh_pairs(
     the pair table. The default returns the fully lazy plan: the shingle
     expressions recompute per branch (cheap JVM codegen) and one-shot
     queries skip the checkpoint disk round-trip entirely."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        # shingles_col already dedups; no array_sort — array_intersect and
-        # array_min are order-agnostic, the sort was pure overhead
-        shingles_col(tokens_col(text_col), shingle_width).alias("sh"),
-    )
+    ex = _exploded_shingles(df, id_col, text_col, shingle_width)
     if materialize:
-        base = base.persist()  # reused by the band join AND the verify joins
-    sigs = base.select("id", *md5_minhash_sig(F.col("sh"), perms))
+        ex = ex.persist()  # reused by the sig agg AND the verify counts
+    # sig[p] = min md5 over the doc's distinct shingles, computed as a
+    # groupBy-min over the already-id-partitioned slim table (no per-row
+    # array transform pass, no extra exchange)
+    sigs = ex.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"sig{p}")
+            for p in range(perms)
+        ]
+    )
     bands = []
     for b in range(perms // band_size):
         parts = [F.col(f"sig{b * band_size + r}") for r in range(band_size)]
         bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    # slim (id, band_key) join + distinct on ids only; shingle arrays are
-    # attached AFTER dedup so the shuffle moves 16-byte rows, not documents
+    # slim (id, band_key) join + distinct on ids only; jaccard is counted
+    # from the slim exploded table so the shuffles move ~16-byte rows, not
+    # documents or shingle arrays
     exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
     pairs = _bucket_pairs(exploded, pairs_cfg)
-    out = _attach_jaccard(pairs, base, min_jaccard)
-    return _materialize_release(out, base) if materialize else out
-
-
-def _attach_jaccard(pairs: DataFrame, base: DataFrame, min_jaccard: float) -> DataFrame:
-    """Join shingle lists onto slim (id_a, id_b) pairs and compute the true
-    shingle-set Jaccard."""
-    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jacc = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        joined.withColumn("jaccard", jacc)
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    out = _jaccard_from_exploded(pairs, ex, min_jaccard)
+    return _materialize_release(out, ex) if materialize else out
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -224,18 +269,12 @@ def ngram_jaccard_pairs(
     hot shingles above ``pairs_cfg.full_join_max`` docs are anchor-capped +
     salted instead of emitting O(n²) pairs on one reducer.
     ``materialize`` as in :func:`minhash_lsh_pairs`."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        # shingles_col already dedups; no array_sort — array_intersect and
-        # array_min are order-agnostic, the sort was pure overhead
-        shingles_col(tokens_col(text_col), shingle_width).alias("sh"),
-    )
+    ex = _exploded_shingles(df, id_col, text_col, shingle_width)
     if materialize:
-        base = base.persist()
-    ex = base.select("id", F.explode("sh").alias("s"))
+        ex = ex.persist()
     pairs = _bucket_pairs(ex, pairs_cfg)
-    out = _attach_jaccard(pairs, base, min_jaccard)
-    return _materialize_release(out, base) if materialize else out
+    out = _jaccard_from_exploded(pairs, ex, min_jaccard)
+    return _materialize_release(out, ex) if materialize else out
 
 
 def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

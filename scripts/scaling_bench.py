@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Scaling evidence: the same ER job at two parallelism levels (local[8] vs
-local[32] — the sandbox stand-in for N vs 4N executors, per BASELINE.md) on
+"""Scaling evidence: the same ER job at two parallelism levels (local[N] vs
+local[4N] — the sandbox stand-in for N vs 4N executors, per BASELINE.md) on
 the same input; reports throughput at both plus scaling efficiency.
 
 Each level runs in its own subprocess (fresh JVM) via spark-submit --py-files
@@ -9,7 +9,19 @@ task waves per shuffle: a straggler partition idles 1/3 of a wave, not a
 whole one — at 4N a single straggler otherwise idles 15 cores) so the
 comparison is honest. Results land in BENCH/BASELINE.md.
 
-Usage: python scripts/scaling_bench.py [--scale bench] [--repeats 2]
+Two ways to drive it:
+
+  # all-in-one (fine for small scales)
+  python scripts/scaling_bench.py --scale bench --repeats 2 --decompose --salted
+
+  # incremental (xl/xxl on a shared box: one spark-submit per call, loadavg
+  # recorded per run, poisoned runs discarded by best-of at assemble time)
+  python scripts/scaling_bench.py --scale xxl --one 'local[4]'
+  python scripts/scaling_bench.py --scale xxl --one 'local[16]'
+  python scripts/scaling_bench.py --scale xxl --one 'local[4]'  --mode off
+  python scripts/scaling_bench.py --scale xxl --one 'local[16]' --mode off
+  python scripts/scaling_bench.py --scale xxl --one 'local[16]' --strategy salted
+  python scripts/scaling_bench.py --scale xxl --assemble
 """
 
 from __future__ import annotations
@@ -60,6 +72,10 @@ print("RESULT " + json.dumps({
 """
 
 
+def _loadavg() -> str:
+    return open("/proc/loadavg").read().split()[0]
+
+
 def run_level(
     master: str,
     data_dir: str,
@@ -72,6 +88,7 @@ def run_level(
     runner.write_text(RUNNER)
     best = None
     for _ in range(repeats):
+        load_before = _loadavg()
         cmd = [
             "/opt/spark/bin/spark-submit",
             "--master", master,
@@ -87,32 +104,15 @@ def run_level(
             print(out.stdout[-2000:], out.stderr[-4000:], file=sys.stderr)
             raise RuntimeError(f"no RESULT from {master}")
         r = json.loads(line[-1][len("RESULT "):])
+        r["load_before"] = load_before
+        r["load_after"] = _loadavg()
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
     return best
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling", "xl", "xxl"])
-    ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares local[N] vs local[4N]")
-    ap.add_argument(
-        "--decompose",
-        action="store_true",
-        help="also run checkpoint_mode='off' at both levels: the wall delta "
-        "vs the default measures the per-stage checkpoint I/O share (serial "
-        "on one shared disk, per-node on a cluster)",
-    )
-    ap.add_argument(
-        "--salted",
-        action="store_true",
-        help="also run pairs_strategy='salted' at 4N for the capped-vs-salted "
-        "wall comparison",
-    )
-    args = ap.parse_args()
-
-    # build the py-files zip + the shared input once
+def prepare(scale: str):
+    """Build the py-files zip and the shared input once; return (cfg, dir)."""
     (REPO / "dist").mkdir(exist_ok=True)
     subprocess.run(
         ["bash", "-c", "cd %s && rm -f dist/belb_spark.zip && zip -qr dist/belb_spark.zip belb_spark -x '*__pycache__*'" % REPO],
@@ -120,31 +120,24 @@ def main() -> int:
     )
     from belb_spark import datagen
 
-    cfg = datagen.SCALES[args.scale]
-    data_dir = datagen.cache_dir(args.scale)
+    cfg = datagen.SCALES[scale]
+    data_dir = datagen.cache_dir(scale)
     if not pathlib.Path(f"{data_dir}/repos.parquet").exists():
         datagen.generate_and_save(data_dir, cfg)
+    return cfg, data_dir
 
-    # interleave repeats (N, 4N, N, 4N, ...) so bursty co-tenant load on this
-    # shared box hits both levels symmetrically; keep the best of each
-    n = n4 = None
-    loads = []
-    for _ in range(args.repeats):
-        loads.append(open("/proc/loadavg").read().split()[0])
-        r8 = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1)
-        loads.append(open("/proc/loadavg").read().split()[0])
-        r32 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1)
-        if n is None or r8["wall_sec"] < n["wall_sec"]:
-            n = r8
-        if n4 is None or r32["wall_sec"] < n4["wall_sec"]:
-            n4 = r32
-    loads.append(open("/proc/loadavg").read().split()[0])
+
+def runs_file(scale: str) -> pathlib.Path:
+    return REPO / "BENCH" / f"scaling_runs_{scale}.jsonl"
+
+
+def write_report(scale, seed, n, n4, off_n, off_n4, s4, loads, repeats_desc):
     eff = (n4["pairs_per_sec"]) / (4 * n["pairs_per_sec"])
     eff_score = (n4["pairs_scored_per_sec"]) / (4 * n["pairs_scored_per_sec"])
     speedup = n["wall_sec"] / n4["wall_sec"]
 
     report = {
-        "scale": args.scale,
+        "scale": scale,
         "N": n,
         "4N": n4,
         "speedup_wall": round(speedup, 3),
@@ -154,9 +147,7 @@ def main() -> int:
     }
 
     decomp_md = ""
-    if args.decompose:
-        off_n = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1, mode="off")
-        off_n4 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, mode="off")
+    if off_n and off_n4:
         eff_off = (off_n4["pairs_per_sec"]) / (4 * off_n["pairs_per_sec"])
         ckpt_n = n["wall_sec"] - off_n["wall_sec"]
         ckpt_n4 = n4["wall_sec"] - off_n4["wall_sec"]
@@ -182,10 +173,7 @@ executor cache, NO parquet writes — pure compute):
 """
 
     salted_md = ""
-    if args.salted:
-        s4 = run_level(
-            f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, strategy="salted"
-        )
+    if s4:
         report["salted_4N"] = s4
         salted_md = f"""
 ## Capped vs salted pair strategy (4N, same input)
@@ -204,10 +192,10 @@ group to ~rows_per_salt members under hot keys (pairs.salt_distribution).
     md = f"""# BENCH/BASELINE — scaling evidence
 
 Same ER job (normalize → block → pairs → score → cluster → eval), same input
-({n["rows"]} rows, synthetic `{args.scale}` scale, seed {cfg.seed}), launched via
+({n["rows"]} rows, synthetic `{scale}` scale, seed {seed}), launched via
 `spark-submit --py-files dist/belb_spark.zip` at two parallelism levels —
 the sandbox stand-in for N vs 4N executors (BASELINE.md). Shuffle
-partitions = 3 × cores at each level. Best of {args.repeats} runs per level.
+partitions = 3 × cores at each level. {repeats_desc}
 
 | level | cores | wall (s) | pairs scored | pairs/sec | rows/sec | test F1 |
 |---|---|---|---|---|---|---|
@@ -260,8 +248,121 @@ place of the manifest).
     out_md = REPO / "BENCH" / "BASELINE.md"
     out_md.parent.mkdir(exist_ok=True)
     out_md.write_text(md)
-    (REPO / "BENCH" / f"scaling_{args.scale}.json").write_text(json.dumps(report, indent=2))
+    (REPO / "BENCH" / f"scaling_{scale}.json").write_text(json.dumps(report, indent=2))
     print(f"wrote {out_md}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", default="bench", choices=["tiny", "small", "bench", "scaling", "xl", "xxl"])
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--n-cores", type=int, default=4, help="N; the run compares local[N] vs local[4N]")
+    ap.add_argument(
+        "--one",
+        default=None,
+        metavar="MASTER",
+        help="incremental mode: run ONE spark-submit at this master (with "
+        "--mode/--strategy), append the result to BENCH/scaling_runs_"
+        "<scale>.jsonl, and exit. Assemble later with --assemble.",
+    )
+    ap.add_argument("--mode", default="async", choices=["async", "sync", "off"])
+    ap.add_argument("--strategy", default="capped", choices=["capped", "salted"])
+    ap.add_argument(
+        "--assemble",
+        action="store_true",
+        help="build BENCH/BASELINE.md + scaling_<scale>.json from the "
+        "recorded incremental runs (best wall per level/mode/strategy)",
+    )
+    ap.add_argument(
+        "--decompose",
+        action="store_true",
+        help="also run checkpoint_mode='off' at both levels: the wall delta "
+        "vs the default measures the per-stage checkpoint I/O share (serial "
+        "on one shared disk, per-node on a cluster)",
+    )
+    ap.add_argument(
+        "--salted",
+        action="store_true",
+        help="also run pairs_strategy='salted' at 4N for the capped-vs-salted "
+        "wall comparison",
+    )
+    args = ap.parse_args()
+
+    if args.assemble:
+        lines = [
+            json.loads(l)
+            for l in runs_file(args.scale).read_text().splitlines()
+            if l.strip()
+        ]
+
+        def best(cores, mode="async", strategy="capped"):
+            cand = [
+                r for r in lines
+                if r["cores"] == cores and r["mode"] == mode and r["strategy"] == strategy
+            ]
+            return min(cand, key=lambda r: r["wall_sec"]) if cand else None
+
+        n = best(args.n_cores)
+        n4 = best(4 * args.n_cores)
+        if n is None or n4 is None:
+            print("need at least one async/capped run at N and 4N", file=sys.stderr)
+            return 1
+        from belb_spark import datagen
+
+        seed = datagen.SCALES[args.scale].seed
+        loads = [x for r in lines for x in (r["load_before"], r["load_after"])]
+        counts = {}
+        for r in lines:
+            k = f"{r['cores']}c/{r['mode']}/{r['strategy']}"
+            counts[k] = counts.get(k, 0) + 1
+        desc = "Best of recorded runs per level (" + ", ".join(
+            f"{k}: {v}" for k, v in sorted(counts.items())
+        ) + "); per-run loadavg in scaling_runs_%s.jsonl." % args.scale
+        write_report(
+            args.scale, seed, n, n4,
+            best(args.n_cores, mode="off"), best(4 * args.n_cores, mode="off"),
+            best(4 * args.n_cores, strategy="salted"),
+            loads, desc,
+        )
+        return 0
+
+    cfg, data_dir = prepare(args.scale)
+
+    if args.one:
+        r = run_level(args.one, data_dir, args.scale, 1, args.mode, args.strategy)
+        f = runs_file(args.scale)
+        f.parent.mkdir(exist_ok=True)
+        with f.open("a") as fh:
+            fh.write(json.dumps(r) + "\n")
+        print(json.dumps(r, indent=2))
+        return 0
+
+    # interleave repeats (N, 4N, N, 4N, ...) so bursty co-tenant load on this
+    # shared box hits both levels symmetrically; keep the best of each
+    n = n4 = None
+    loads = []
+    for _ in range(args.repeats):
+        loads.append(_loadavg())
+        r8 = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1)
+        loads.append(_loadavg())
+        r32 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1)
+        if n is None or r8["wall_sec"] < n["wall_sec"]:
+            n = r8
+        if n4 is None or r32["wall_sec"] < n4["wall_sec"]:
+            n4 = r32
+    loads.append(_loadavg())
+
+    off_n = off_n4 = s4 = None
+    if args.decompose:
+        off_n = run_level(f"local[{args.n_cores}]", data_dir, args.scale, 1, mode="off")
+        off_n4 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, mode="off")
+    if args.salted:
+        s4 = run_level(f"local[{4 * args.n_cores}]", data_dir, args.scale, 1, strategy="salted")
+
+    write_report(
+        args.scale, cfg.seed, n, n4, off_n, off_n4, s4, loads,
+        f"Best of {args.repeats} runs per level.",
+    )
     return 0
 
 
