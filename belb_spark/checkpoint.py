@@ -240,6 +240,18 @@ class CheckpointStore:
         self._pending.append((name, df, fut))
         return StageResult(df, rows, False, time.time() - t0, {}, pending=True)
 
+    def drain(self) -> float:
+        """Wait for all in-flight async writes WITHOUT releasing the
+        persisted builds (downstream still reads them); returns seconds
+        blocked. Placed before a stage whose wall is itself a reported
+        metric (pairs-scored/sec = scored pairs / scoring-stage wall): a
+        background parquet write competing for cores would silently inflate
+        that stage's measured wall."""
+        t0 = time.time()
+        for _name, _df, fut in self._pending:
+            fut.result()
+        return time.time() - t0
+
     def finish(self) -> dict[str, dict[str, Any]]:
         """Join all in-flight async writes, log their manifests, release the
         persisted builds. Returns {stage: manifest}."""
@@ -309,6 +321,9 @@ class EphemeralStore:
         return StageResult(df, rows, False, wall)
 
     run_async = run  # no write to overlap; persist+count IS the stage
+
+    def drain(self) -> float:
+        return 0.0
 
     def finish(self) -> dict[str, dict[str, Any]]:
         for df in self._persisted:

@@ -27,12 +27,15 @@ anchor→member pairs only — bounded, connectivity-preserving, and observable
 via :func:`bucket_pair_stats` (no silent drops).
 
 Lifecycle: by default every operator returns a fully LAZY plan — no persist,
-no checkpoint, nothing to leak, and `.explain` shows the real plan. Pipelines
-that iterate over the pair table pass ``materialize=True``: the shingle base
-is persisted for reuse across the band and verify joins, the result is
-eagerly checkpointed (reliable — files reclaimed by the context cleaner), and
-the base is unpersisted before returning, so repeated calls still leak no
-executor storage (getPersistentRDDs stays empty — pinned by test).
+no checkpoint, nothing to leak, and `.explain` shows the real plan; the
+shingle work is still evaluated ONCE because every consumer reads the same
+explicitly-repartitioned slim (id, shingle) exchange (AQE ReusedExchange —
+see :func:`_exploded_shingles`). Pipelines that iterate over the pair table
+pass ``materialize=True``: the slim exploded table is persisted across the
+sig/verify consumers, the result is eagerly checkpointed (reliable — files
+reclaimed by the context cleaner), and the persist is released before
+returning, so repeated calls still leak no executor storage
+(getPersistentRDDs stays empty — pinned by test).
 """
 
 from __future__ import annotations

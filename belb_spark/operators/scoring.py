@@ -52,11 +52,15 @@ def score_pairs(
     # while md5(norm_text) collides across different tokenizations when a
     # canonical dictionary symbol contains whitespace (ADVICE r2) — two rows
     # would share a key but carry different token_sets and score wrongly.
-    key = (
-        F.md5(F.to_json("norm_tokens"))
-        if "norm_tokens" in normalized.columns
-        else F.md5(F.concat_ws("", F.to_json("token_set"), "norm_text"))
-    )
+    if "h" in normalized.columns:
+        # precomputed once at the normalize stage (pipeline.py): the three
+        # branches below (both pair sides + payload reps) read a stored
+        # 16-byte column instead of re-deriving md5(to_json(tokens)) each
+        key = F.col("h")
+    elif "norm_tokens" in normalized.columns:
+        key = F.md5(F.to_json("norm_tokens"))
+    else:
+        key = F.md5(F.concat_ws("", F.to_json("token_set"), "norm_text"))
     feats = normalized.select("uid", "token_set", "norm_text", key.alias("h"))
     ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))
     hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))

@@ -105,8 +105,13 @@ def run_pipeline(
 
     checks = ThreadPoolExecutor(max_workers=2)
 
-    # explicit partitioning at ingest, before any expression-heavy stage
-    n_part = cfg.input_partitions or spark.sparkContext.defaultParallelism
+    # explicit partitioning at ingest, before any expression-heavy stage.
+    # 3 waves per core, matching shuffle partitions: a straggler split costs
+    # 1/3 wave, and — decisive in async mode — every downstream stage reads
+    # the PERSISTED build at this same partitioning (no parquet read-back to
+    # re-split it), so cores×1 partitions would cap map-side parallelism of
+    # stages 02-04 at one task per core
+    n_part = cfg.input_partitions or 3 * spark.sparkContext.defaultParallelism
     repos_in = repos.repartition(n_part)
     # content lives ONLY here — uid-addressable for the sha checks. The 01
     # checkpoint stores (uid, content_sha, norm_tokens): content was ~half
@@ -117,10 +122,16 @@ def run_pipeline(
 
     # 1. normalize (content untouched; sha carried). norm_text/token_set are
     # derived again after read — cheap JVM expressions, not worth the bytes.
+    # The 16-byte content key h IS stored: scoring's slim shuffle needs it on
+    # three branches (both pair sides + the payload reps), so computing the
+    # md5(to_json(tokens)) here once beats re-deriving it 3× per run.
     norm_res = run_stage(
         "01_normalize",
         lambda: normalize(repos_in, synonym_dict).select(
-            "uid", "content_sha", "norm_tokens"
+            "uid",
+            "content_sha",
+            "norm_tokens",
+            F.md5(F.to_json("norm_tokens")).alias("h"),
         ),
     )
     norm = norm_res.df.withColumn(
@@ -192,7 +203,12 @@ def run_pipeline(
     metrics["exact_dup_edges"] = n_exact
     metrics["candidate_pairs"] = cand_res.rows - n_exact
 
-    # 4. scoring (block candidates only)
+    # 4. scoring (block candidates only). Join any in-flight background
+    # stage writes FIRST: the scoring-stage wall defines the reported
+    # pairs-scored/sec metric, and a parquet write overlapping it would
+    # silently eat cores out of the measured stage. 01-03 writes still
+    # overlap each other's downstream compute; the wait is recorded.
+    metrics["ckpt_drain_sec"] = round(store.drain(), 3)
     scores_res = run_stage(
         "04_scores", lambda: score_pairs(block_pairs, norm, cfg.scoring)
     )

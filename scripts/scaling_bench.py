@@ -40,6 +40,7 @@ import json, sys, time, tempfile, shutil, pathlib
 master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
 mode = sys.argv[4] if len(sys.argv) > 4 else "async"
 strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
+n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
 cores = cores_from_master(master)
@@ -50,7 +51,7 @@ repos = spark.read.parquet(str(d / "repos.parquet"))
 syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
 ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_")
-cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy)
+cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part)
 t0 = time.time()
 res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
 wall = time.time() - t0
@@ -83,6 +84,7 @@ def run_level(
     repeats: int,
     mode: str = "async",
     strategy: str = "capped",
+    n_part: int = 0,
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -96,7 +98,7 @@ def run_level(
             # up — must be a submit-time flag
             "--driver-memory", "16g",
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
-            str(runner), master, data_dir, scale, mode, strategy,
+            str(runner), master, data_dir, scale, mode, strategy, str(n_part),
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
