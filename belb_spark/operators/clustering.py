@@ -41,29 +41,38 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Input must be (u > v)-oriented with no self-loops; duplicates are fine
+    (min-aggregations and joins are duplicate-insensitive up to row
+    multiplicity). Output is (u > v)-oriented with no self-loops BUT not
+    deduplicated: a star round chains several of these, and one ``distinct``
+    per ROUND-PAIR (in :func:`connected_components`) replaces the four
+    per-star distinct shuffles the r2 shape paid."""
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = sym.groupBy("u").agg(F.min("v").alias("minv"))
     m = m.select("u", F.least(F.col("minv"), F.col("u")).alias("mn"))
-    out = (
+    # v > u ≥ mn ⇒ output rows are already strictly oriented (no loops)
+    return (
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
     )
-    return _canon(out)
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each u over its smaller neighbors N(u): connect N(u) ∪ {u} to
-    min(N(u))."""
-    e = _canon(edges)  # u > v for every row
-    m = e.groupBy("u").agg(F.min("v").alias("mn"))
+    min(N(u)). Same contract as :func:`_large_star`: oriented dup-tolerant
+    in, oriented non-deduped out (mn ≤ v < u ⇒ only the via-neighbor rows
+    can degenerate to self-loops, filtered here)."""
+    m = edges.groupBy("u").agg(F.min("v").alias("mn"))
     via_nbrs = (
-        e.join(m, "u")
+        edges.join(m, "u")
         .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .filter(F.col("u") != F.col("v"))
     )
     self_edge = m.select("u", F.col("mn").alias("v"))
-    return _canon(via_nbrs.union(self_edge))
+    return via_nbrs.union(self_edge)
 
 
 def _fingerprint(edges: DataFrame) -> tuple[int, int]:
@@ -129,16 +138,28 @@ def connected_components(
       observe no change. An already-converged input runs zero rounds.
     """
     ensure_checkpoint_dir(edges.sparkSession)
-    e = _canon(
-        edges.select(F.col("uid_a").alias("u"), F.col("uid_b").alias("v"))
-    ).checkpoint(eager=True)
+    # orient + drop self-loops WITHOUT a distinct: candidate/scored edge
+    # tables are already unique pairs, and the rare duplicates a caller's
+    # pre-contraction introduces are absorbed by round 1's dedup — the
+    # up-front distinct was a full extra shuffle of the biggest edge set
+    e = (
+        edges.select(
+            F.greatest("uid_a", "uid_b").alias("u"),
+            F.least("uid_a", "uid_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .checkpoint(eager=True)
+    )
 
-    for _ in range((max_iter + 1) // 2 + 1):
-        if _is_star_forest(e):
+    for i in range((max_iter + 1) // 2 + 1):
+        # probe AFTER the first round-pair, not before: pipeline inputs are
+        # never already-converged, so a pre-probe was a pure extra job; for
+        # a converged input the first round-pair is idempotent and the probe
+        # still exits the loop right after it.
+        if i > 0 and _is_star_forest(e):
             break
-        e = _small_star(_large_star(e))
-        e = _small_star(_large_star(e))
-        e = e.checkpoint(eager=True)
+        e = _small_star(_large_star(_small_star(_large_star(e))))
+        e = _canon(e).checkpoint(eager=True)
 
     # converged: e is a star forest (member u -> root v)
     labels = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster")).union(

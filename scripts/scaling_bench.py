@@ -41,6 +41,7 @@ master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
 mode = sys.argv[4] if len(sys.argv) > 4 else "async"
 strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
+ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
 cores = cores_from_master(master)
@@ -50,7 +51,7 @@ d = pathlib.Path(data_dir)
 repos = spark.read.parquet(str(d / "repos.parquet"))
 syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
-ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_")
+ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_", dir=ckpt_base)
 cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part)
 t0 = time.time()
 res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
@@ -60,6 +61,7 @@ m = res.metrics
 pairs = m["pairs_scored"] + m["exact_dup_edges"]
 print("RESULT " + json.dumps({
     "master": master, "cores": cores, "mode": mode, "strategy": strategy,
+    "ckpt_base": ckpt_base or "/tmp",
     "wall_sec": round(wall, 2),
     "rows": m["rows_in"], "pairs": pairs,
     "pairs_per_sec": round(pairs / wall, 1),
@@ -85,6 +87,7 @@ def run_level(
     mode: str = "async",
     strategy: str = "capped",
     n_part: int = 0,
+    ckpt_base: str = "",
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -98,7 +101,7 @@ def run_level(
             # up — must be a submit-time flag
             "--driver-memory", "16g",
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
-            str(runner), master, data_dir, scale, mode, strategy, str(n_part),
+            str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -268,6 +271,14 @@ def main() -> int:
         "<scale>.jsonl, and exit. Assemble later with --assemble.",
     )
     ap.add_argument("--mode", default="async", choices=["async", "sync", "off"])
+    ap.add_argument(
+        "--ckpt-base",
+        default="",
+        help="base dir for the per-run stage-checkpoint store; /dev/shm is "
+        "the single-box stand-in for per-node distributed storage (a real "
+        "cluster writes stage checkpoints to per-node disks / an Iceberg "
+        "catalog, not one shared spindle)",
+    )
     ap.add_argument("--strategy", default="capped", choices=["capped", "salted"])
     ap.add_argument(
         "--assemble",
@@ -331,7 +342,10 @@ def main() -> int:
     cfg, data_dir = prepare(args.scale)
 
     if args.one:
-        r = run_level(args.one, data_dir, args.scale, 1, args.mode, args.strategy)
+        r = run_level(
+            args.one, data_dir, args.scale, 1, args.mode, args.strategy,
+            ckpt_base=args.ckpt_base,
+        )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)
         with f.open("a") as fh:
