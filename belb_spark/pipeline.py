@@ -149,12 +149,17 @@ def run_pipeline(
 
     sha_stage1 = checks.submit(_sha_violations, norm)
 
-    # 2. blocking keys
-    blocks_res = run_stage("02_blocks", lambda: block_keys(norm, cfg.blocking))
-    blocks = blocks_res.df
-    metrics["block_rows"] = blocks_res.rows
+    # 2+3. blocking keys flow STRAIGHT into the candidate builder — not
+    # checkpointed separately. The exploded (uid, block_key) table is an
+    # intermediate: it is 10× the input rows, costs a full write+read-back
+    # plus one stage's orchestration floor (python-worker spin-up, AQE
+    # re-plan, commit), and is trivially re-derivable from the 01 output.
+    # The three north-rule stages stay durably checkpointed: candidates
+    # (blocking output), scores, clusters. The drop-stats thread re-derives
+    # blocks with a cheap partial-agg groupBy (no window, no write).
+    blocks = block_keys(norm, cfg.blocking)
 
-    # 3. candidate pairs (+ exact-dup edges, logged drop stats).
+    # candidate pairs (+ exact-dup edges, logged drop stats).
     # One checkpoint for both pair families: block candidates (to be scored)
     # and ready exact-duplicate star edges (score 1.0 by construction).
     def build_candidates() -> DataFrame:
@@ -180,6 +185,7 @@ def run_pipeline(
     from concurrent.futures import ThreadPoolExecutor
 
     stats_df = pair_stats(blocks, cfg.pairs).agg(
+        F.sum("block_size").alias("block_rows"),
         F.sum("pairs_theoretical").alias("theoretical"),
         F.sum("pairs_emitted").alias("emitted"),
         F.max("block_size").alias("max_block"),
@@ -190,6 +196,7 @@ def run_pipeline(
         # (parquet footers) when the write is synchronous
         cand_res = run_stage("03_candidates", build_candidates, partition_by=["src"])
     stats = stats_future.result()
+    metrics["block_rows"] = int(stats["block_rows"] or 0)
     metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)
     metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
     metrics["max_block_size"] = int(stats["max_block"] or 0)

@@ -42,10 +42,12 @@ mode = sys.argv[4] if len(sys.argv) > 4 else "async"
 strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
+bcast = sys.argv[8] if len(sys.argv) > 8 and sys.argv[8] else None
+extra = {"spark.sql.autoBroadcastJoinThreshold": bcast} if bcast else {}
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
 cores = cores_from_master(master)
-spark = get_spark("scaling", master=master, shuffle_partitions=3 * cores)
+spark = get_spark("scaling", master=master, shuffle_partitions=3 * cores, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 d = pathlib.Path(data_dir)
 repos = spark.read.parquet(str(d / "repos.parquet"))
@@ -88,6 +90,7 @@ def run_level(
     strategy: str = "capped",
     n_part: int = 0,
     ckpt_base: str = "",
+    bcast: str = "",
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -101,7 +104,7 @@ def run_level(
             # up — must be a submit-time flag
             "--driver-memory", "16g",
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
-            str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base,
+            str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd="/tmp")
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -271,6 +274,7 @@ def main() -> int:
         "<scale>.jsonl, and exit. Assemble later with --assemble.",
     )
     ap.add_argument("--mode", default="async", choices=["async", "sync", "off"])
+    ap.add_argument("--bcast", default="", help="override spark.sql.autoBroadcastJoinThreshold for the run")
     ap.add_argument(
         "--ckpt-base",
         default="",
@@ -344,7 +348,7 @@ def main() -> int:
     if args.one:
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
-            ckpt_base=args.ckpt_base,
+            ckpt_base=args.ckpt_base, bcast=args.bcast,
         )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)
