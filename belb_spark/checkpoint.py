@@ -252,6 +252,27 @@ class CheckpointStore:
             fut.result()
         return time.time() - t0
 
+    def annotate(self, name: str, extra: dict[str, Any]) -> None:
+        """Merge metrics discovered AFTER a stage's action (e.g. Spark
+        Observation results that only exist once the job ran) into the
+        stage's committed manifest, so a later resume can read them instead
+        of recomputing. If the stage's async write is still in flight, the
+        merge is deferred to its completion callback."""
+        for n, _df, fut in self._pending:
+            if n == name:
+                fut.add_done_callback(
+                    lambda _f, e=dict(extra): self._merge_manifest(name, e)
+                )
+                return
+        self._merge_manifest(name, dict(extra))
+
+    def _merge_manifest(self, name: str, extra: dict[str, Any]) -> None:
+        _, manifest_path = self._paths(name)
+        if manifest_path.exists():
+            m = json.loads(manifest_path.read_text())
+            m.setdefault("metrics", {}).update(extra)
+            manifest_path.write_text(json.dumps(m, indent=2))
+
     def finish(self) -> dict[str, dict[str, Any]]:
         """Join all in-flight async writes, log their manifests, release the
         persisted builds. Returns {stage: manifest}."""
@@ -324,6 +345,9 @@ class EphemeralStore:
 
     def drain(self) -> float:
         return 0.0
+
+    def annotate(self, name: str, extra: dict[str, Any]) -> None:
+        pass
 
     def finish(self) -> dict[str, dict[str, Any]]:
         for df in self._persisted:

@@ -41,6 +41,14 @@ def _rank_and_size(blocks: DataFrame) -> DataFrame:
     ordering (the count just uses an unbounded frame), so the exploded key
     table is shuffled and sorted once and walked once — the second sorted
     pass the r2 judge flagged (VERDICT "What's wrong" #2) is gone.
+
+    Callers that fan the ranked table into multiple consumers MUST pin an
+    explicit ``repartition("block_key")`` ABOVE this window (see
+    candidate_pairs / candidate_pairs_salted): the self-join branches prune
+    different column sets, which makes the window subtrees canonically
+    different — without the pinned exchange each branch re-evaluates the
+    whole block-key derivation (minhash over every doc) under its own copy
+    of the shuffle.
     """
     w = Window.partitionBy("block_key").orderBy("uid")
     return blocks.withColumn("rn", F.row_number().over(w)).withColumn(
@@ -67,21 +75,54 @@ def exact_duplicate_edges(normalized: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def observed_pair_stats(cfg: PairsConfig) -> list:
+    """Aggregate expressions for a Spark Observation over the ranked LEFT
+    side of the candidate self-join: per-block facts are read off the
+    rn == 1 row (it exists exactly once per block and carries bn), so the
+    no-silent-caps accounting (emitted vs theoretical pairs, max block,
+    block rows) rides the candidates action itself — no second evaluation
+    of the live block-key derivation, no separate stats job."""
+    n = F.col("bn").cast("long")
+    first = F.col("rn_a") == 1
+    theoretical = (n * (n - 1) / 2).cast("long")
+    emitted = F.when(n <= cfg.full_join_max, theoretical).otherwise(
+        (
+            F.lit(cfg.anchor_rank) * (n - 1)
+            - F.lit(cfg.anchor_rank * (cfg.anchor_rank - 1) // 2)
+        ).cast("long")
+    )
+    zero = F.lit(0).cast("long")
+    return [
+        F.count(F.lit(1)).alias("block_rows"),
+        F.sum(F.when(first, theoretical).otherwise(zero)).alias("theoretical"),
+        F.sum(F.when(first, emitted).otherwise(zero)).alias("emitted"),
+        F.max("bn").alias("max_block"),
+    ]
+
+
 def candidate_pairs(
-    blocks: DataFrame, cfg: PairsConfig = PairsConfig()
+    blocks: DataFrame, cfg: PairsConfig = PairsConfig(), observe=None
 ) -> DataFrame:
     """(uid, block_key) -> unique (uid_a, uid_b), uid_a < uid_b.
 
     ``exact:`` keys are excluded here (handled by exact_duplicate_edges).
+    ``observe``: optional ``pyspark.sql.Observation`` that receives the
+    :func:`observed_pair_stats` aggregates when the returned plan executes.
     """
     b = blocks.filter(~F.col("block_key").startswith("exact:"))
-    ranked = _rank_and_size(b)
+    # pinned exchange above the window: left/right prune different columns,
+    # so without it each side re-evaluates the window AND the (expensive)
+    # block-key derivation below it — decisive once blocks stopped being a
+    # checkpointed stage and carry the live minhash computation
+    ranked = _rank_and_size(b).repartition("block_key")
     left = ranked.select(
         F.col("block_key"),
         F.col("uid").alias("uid_a"),
         F.col("rn").alias("rn_a"),
         F.col("bn"),
     )
+    if observe is not None:
+        left = left.observe(observe, *observed_pair_stats(cfg))
     right = ranked.select(F.col("block_key"), F.col("uid").alias("uid_b"))
     pairs = (
         left.join(right, "block_key")
