@@ -123,7 +123,14 @@ def candidate_pairs(
     )
     if observe is not None:
         left = left.observe(observe, *observed_pair_stats(cfg))
-    right = ranked.select(F.col("block_key"), F.col("uid").alias("uid_b"))
+    # bn > 0 is vacuously true (bn counts the row's own block) — it exists
+    # to keep a window-column reference in this branch: without it Catalyst
+    # prunes the Window (and re-plans the exchange below it) for the right
+    # side only, the two subtrees stop being canonically equal, and the
+    # pinned exchange is evaluated twice instead of reused
+    right = ranked.filter(F.col("bn") > 0).select(
+        F.col("block_key"), F.col("uid").alias("uid_b")
+    )
     pairs = (
         left.join(right, "block_key")
         .filter(F.col("uid_a") < F.col("uid_b"))

@@ -149,14 +149,14 @@ def run_pipeline(
 
     sha_stage1 = checks.submit(_sha_violations, norm)
 
-    # 2+3. blocking keys flow STRAIGHT into the candidate builder — not
-    # checkpointed separately. The exploded (uid, block_key) table is an
-    # intermediate: it is 10× the input rows, costs a full write+read-back
-    # plus one stage's orchestration floor (python-worker spin-up, AQE
-    # re-plan, commit), and is trivially re-derivable from the 01 output.
-    # The three north-rule stages stay durably checkpointed: candidates
-    # (blocking output), scores, clusters.
-    blocks = block_keys(norm, cfg.blocking)
+    # 2. blocking keys — checkpointed. (Measured alternative at xxl: fusing
+    # blocks into the candidates stage saved one stage floor but cost MORE
+    # in the fused window tower — the compact parquet round-trip feeds the
+    # self-join branches cheaper than re-flowing the live minhash, 52.5s vs
+    # 45.8s for 02+03 at local[16]; keep the two-stage shape.)
+    blocks_res = run_stage("02_blocks", lambda: block_keys(norm, cfg.blocking))
+    blocks = blocks_res.df
+    metrics["block_rows"] = blocks_res.rows
 
     # candidate pairs (+ exact-dup edges, logged drop stats).
     # One checkpoint for both pair families: block candidates (to be scored)
@@ -196,7 +196,6 @@ def run_pipeline(
             stats = store.log[-1].get("metrics") or {}
             if "theoretical" not in stats:  # pre-annotation checkpoint dir
                 stats = pair_stats(blocks, cfg.pairs).agg(
-                    F.sum("block_size").alias("block_rows"),
                     F.sum("pairs_theoretical").alias("theoretical"),
                     F.sum("pairs_emitted").alias("emitted"),
                     F.max("block_size").alias("max_block"),
@@ -208,7 +207,6 @@ def run_pipeline(
         from concurrent.futures import ThreadPoolExecutor
 
         stats_df = pair_stats(blocks, cfg.pairs).agg(
-            F.sum("block_size").alias("block_rows"),
             F.sum("pairs_theoretical").alias("theoretical"),
             F.sum("pairs_emitted").alias("emitted"),
             F.max("block_size").alias("max_block"),
@@ -219,7 +217,6 @@ def run_pipeline(
                 "03_candidates", build_candidates, partition_by=["src"]
             )
         stats = stats_future.result()
-    metrics["block_rows"] = int(stats["block_rows"] or 0)
     metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)
     metrics["pairs_capped_estimate"] = int(stats["emitted"] or 0)
     metrics["max_block_size"] = int(stats["max_block"] or 0)
