@@ -35,6 +35,7 @@ from belb_spark.operators.dedup import (
 from belb_spark.operators.similarity import (
     cosine_topk,
     embedding_cosine_pairs,
+    ivf_topk,
     srp_ann_topk,
     srp_lsh_buckets,
     srp_weights,
@@ -146,6 +147,26 @@ def q_srp_ann_topk(spark, sf_dir):
         k=5,
         n_planes=8,
         dim=64,
+    )
+    return out.select(
+        F.col("query_id").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("rank").cast("long"),
+        "cosine",
+    )
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN (similarity.ivf_topk): corpus inverted by deterministic
+    coarse cells (first-8-by-id centroids — the k-means slot), queries probe
+    their 2 nearest cells, exact cosine re-rank within the probed cells."""
+    emb = _emb(spark, sf_dir)
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_cells=8,
+        n_probe=2,
     )
     return out.select(
         F.col("query_id").cast("long"),
@@ -616,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_srp_buckets": q_srp_buckets,
         "ann_srp_topk": q_srp_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_quality": q_text_quality,
         "text_lang_id": q_lang_id,
         "text_token_counts": q_token_counts,
@@ -868,6 +890,48 @@ FROM r WHERE rank <= 5
 
     sql["ann_srp_buckets"] = _srp_sql()
     sql["ann_srp_topk"] = _srp_topk_sql()
+
+    _COS6 = (
+        "round(list_inner_product({a}, {b}) / "
+        "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+    )
+    _COS3 = (
+        "round(list_inner_product({a}, {b}) / "
+        "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 3)"
+    )
+    sql["ann_ivf_topk"] = f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id >= 10),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id < 10),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c ORDER BY vec_id LIMIT 8),
+ca AS (SELECT vec_id, cid, {_COS6.format(a="v", b="cv")} AS cc FROM c, cent),
+cellof AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM ca) WHERE rn = 1
+),
+qa AS (SELECT query_id, cid, {_COS6.format(a="qv", b="cv")} AS cc FROM q, cent),
+probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT query_id, cid, row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, cid ASC) AS rn
+    FROM qa) WHERE rn <= 2
+),
+s AS (
+  SELECT p.query_id, co.vec_id, {_COS3.format(a="c.v", b="q.qv")} AS cosine
+  FROM probes p
+  JOIN cellof co ON co.cell = p.cell
+  JOIN c ON c.vec_id = co.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE co.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM s
+)
+SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+       rank::BIGINT AS rank, cosine
+FROM r WHERE rank <= 5
+"""
 
     # two unioned SRP plane sets (LSH band tables): candidates share a
     # bucket in EITHER table, deduped, then exact-cosine verified

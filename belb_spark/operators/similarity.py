@@ -199,3 +199,106 @@ def srp_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round(cos, 3).alias("cosine"))
     )
+
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF-flat coarse quantizer: the centroids are the first
+    ``n_cells`` corpus vectors by id — no iterative training, so the cell
+    function is reproducible in any engine (the DuckDB oracle recomputes the
+    same cells) and stable across partitionings. On a real cluster you plug
+    k-means centroids into the same assignment/search plan; only this
+    function changes. Driver-side collect is bounded at n_cells rows."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(int(r["cid"]), list(r["v"])) for r in rows]
+
+
+def _cell_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<c: cosine-to-centroid (6dp), n: -centroid_id>> — the
+    struct ordering makes array_max/sort pick highest cosine with smaller
+    centroid id as the deterministic tie-break."""
+    nv = _norm(v)
+    cells = []
+    for cid, w in centroids:
+        wcol = F.array(*[F.lit(float(x)) for x in w])
+        nw = sum(x * x for x in w) ** 0.5
+        cos = _dot(v, wcol) / (nv * F.lit(nw))
+        cells.append(F.struct(F.round(cos, 6).alias("c"), F.lit(-cid).alias("n")))
+    return F.array(*cells)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): each vector lands in the cell of its highest-cosine
+    centroid. Pure JVM expressions (the centroid matrix is a literal); at
+    scale ``cell`` is the partition/bucket key of the vector table."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(_cell_scores(v, centroids))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), (-best["n"]).cast("long").alias("cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are inverted by coarse
+    cell; each query probes its ``n_probe`` nearest cells and exact-cosine
+    re-ranks only those cells' vectors. Output (query_id, vec_id, rank,
+    cosine), rank deterministic via (cosine 3dp desc, vec_id).
+
+    Scale shape: the corpus side is shuffled ONCE by cell (at rest this is
+    the table's bucket/partition key, so the probe join is partition-pruned
+    to n_probe cells per query); the query→cell probe list is tiny and
+    broadcast. Nothing driver-side except the bounded centroid fetch."""
+    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).join(ivf_assign(embeddings, centroids, id_col, vec_col), "vec_id")
+
+    qv = F.col(vec_col).cast("array<double>")
+    scores = F.reverse(F.array_sort(_cell_scores(qv, centroids)))
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.slice(scores, 1, n_probe).alias("_p"),
+    ).select(
+        "query_id", "qv", F.explode(F.transform("_p", lambda s: -s["n"])).alias("cell")
+    )
+
+    joined = corpus.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 3).desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round(cos, 3).alias("cosine"))
+    )

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_srp_buckets",
     "ann_srp_topk",
+    "ann_ivf_topk",
     "text_fingerprint",
     "events_overlap_join",
     "spans_sentences",

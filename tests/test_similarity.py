@@ -95,3 +95,29 @@ def test_table_id_rides_high_bits_no_cross_table_buckets(spark):
         mx = b.agg(F.max("bucket")).collect()[0][0]
         mn = b.agg(F.min("bucket")).collect()[0][0]
         assert 0 <= mn and mx < (1 << 8)
+
+
+def test_ivf_topk_finds_near_dups(spark):
+    """IVF-flat sanity on the deterministic near-dup families: a vector's
+    true nearest neighbor is its perturbed twin (cosine > 0.99), whose cell
+    assignment is the same under any coarse quantizer that separates the
+    spread-out families — so IVF top-1 must equal brute-force top-1 for
+    every query, and ranks must be 1..k without gaps."""
+    from belb_spark.operators.similarity import cosine_topk, ivf_topk
+
+    pdf = _vectors()
+    df = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+    corpus = df.filter(F.col("vec_id") >= 12)
+    queries = df.filter(F.col("vec_id") < 12)
+
+    ivf = ivf_topk(corpus, queries, k=3, n_cells=8, n_probe=2).toPandas()
+    brute = cosine_topk(corpus, queries, k=3).toPandas()
+
+    for qid, grp in ivf.groupby("query_id"):
+        ranks = sorted(grp["rank"].tolist())
+        assert ranks == list(range(1, len(ranks) + 1))
+    ivf1 = ivf[ivf["rank"] == 1].set_index("query_id")["vec_id"]
+    brute1 = brute[brute["rank"] == 1].set_index("query_id")["vec_id"]
+    # top-1 recall: every query's true nearest neighbor survives the probe
+    hits = sum(int(ivf1.get(q, -1) == v) for q, v in brute1.items())
+    assert hits / len(brute1) >= 0.9
