@@ -151,15 +151,25 @@ def connected_components(
         .checkpoint(eager=True)
     )
 
+    converged = False
     for i in range((max_iter + 1) // 2 + 1):
         # probe AFTER the first round-pair, not before: pipeline inputs are
         # never already-converged, so a pre-probe was a pure extra job; for
         # a converged input the first round-pair is idempotent and the probe
         # still exits the loop right after it.
         if i > 0 and _is_star_forest(e):
+            converged = True
             break
         e = _small_star(_large_star(_small_star(_large_star(e))))
         e = _canon(e).checkpoint(eager=True)
+    # an exhausted iteration budget must not fall through silently: labels
+    # built from a non-converged edge set can assign one uid to two clusters,
+    # surfacing later only as a confusing row-conservation assert (ADVICE r3)
+    if not converged and not _is_star_forest(e):
+        raise RuntimeError(
+            f"connected_components: not a star forest after max_iter={max_iter} "
+            "rounds — raise max_iter (graph diameter exceeds the round budget)"
+        )
 
     # converged: e is a star forest (member u -> root v)
     labels = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster")).union(

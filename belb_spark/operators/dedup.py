@@ -210,7 +210,16 @@ def minhash_lsh_pairs(
     executor storage outlives the call) — for pipelines that iterate over
     the pair table. The default returns the fully lazy plan: the shingle
     expressions recompute per branch (cheap JVM codegen) and one-shot
-    queries skip the checkpoint disk round-trip entirely."""
+    queries skip the checkpoint disk round-trip entirely.
+
+    .. note:: behavior change in r3 — the default used to be an eager
+       checkpoint. A caller that runs MULTIPLE actions on the lazy result
+       (count, then feed a loop) re-executes the whole shingle/LSH pipeline
+       per action and should pass ``materialize=True``. Feeding
+       :func:`~belb_spark.operators.clustering.connected_components` is safe
+       lazily: CC eagerly checkpoints its input edge set first thing, so the
+       pair plan is evaluated exactly once (the in-repo callers —
+       ``entry()``/``q_cc_clusters`` — rely on that)."""
     ex = _exploded_shingles(df, id_col, text_col, shingle_width)
     if materialize:
         ex = ex.persist()  # reused by the sig agg AND the verify counts

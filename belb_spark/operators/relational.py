@@ -273,15 +273,22 @@ def doc_chunking(spark: SparkSession, sf_dir: str, chunk: int = 20) -> DataFrame
 
 def group_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13/X7: pairwise similarity ratio over within-group combinations
-    (belb/scripts/stats.py:203-216 uses ``Levenshtein.ratio`` — a
-    length-normalized similarity, not a raw distance) — per lang, over the
-    8 shortest docs (prefix-clipped).
+    (belb/scripts/stats.py:203-216 uses ``Levenshtein.ratio``) — per lang,
+    over the 8 shortest docs (prefix-clipped).
 
-    Ratio semantics: ``1 - lev(a,b)/(len(a)+len(b))`` — the indel-normalized
-    family of Levenshtein.ratio, built from the JVM ``levenshtein``. Output
-    is the SUM of the ratio in parts-per-million as BIGINT: both engines
-    compute the identical double per pair (integer inputs, same ops) and
-    integer sums are order-independent, so the oracle hash-matches without
+    Ratio semantics — DELIBERATELY ``1 - lev(a,b)/(len_a+len_b)`` with the
+    uniform-cost (substitution=1) JVM ``levenshtein``, which is NOT
+    python-Levenshtein's ``ratio`` (that normalizes the INDEL distance,
+    substitution cost 2: 'ab' vs 'cd' is 0.0 there, 0.5 here; ADVICE r3).
+    The uniform-cost formula is used because both engines have the identical
+    builtin, so the DuckDB oracle mirrors it exactly; the reference-faithful
+    ``Levenshtein.ratio`` lives in
+    :func:`belb_spark.functions.simfns.levenshtein_ratio` (scalar + batch,
+    unit-pinned against python-Levenshtein semantics) for callers that need
+    parity, but has no SQL builtin to oracle against. Output is the SUM of
+    the ratio in parts-per-million as BIGINT: both engines compute the
+    identical double per pair (integer inputs, same ops) and integer sums
+    are order-independent, so the oracle hash-matches without
     float-accumulation drift. Two empty strings ratio as 1.0."""
     docs = load(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")

