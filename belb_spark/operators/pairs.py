@@ -110,6 +110,9 @@ def candidate_pairs(
     :func:`observed_pair_stats` aggregates when the returned plan executes.
     """
     b = blocks.filter(~F.col("block_key").startswith("exact:"))
+    # a content key h in the block table rides both self-join sides, so the
+    # output pairs are pre-keyed for scoring (no uid→h joins there)
+    has_h = "h" in blocks.columns
     # pinned exchange above the window: left/right prune different columns,
     # so without it each side re-evaluates the window AND the (expensive)
     # block-key derivation below it — decisive once blocks stopped being a
@@ -120,6 +123,7 @@ def candidate_pairs(
         F.col("uid").alias("uid_a"),
         F.col("rn").alias("rn_a"),
         F.col("bn"),
+        *([F.col("h").alias("h_a")] if has_h else []),
     )
     if observe is not None:
         left = left.observe(observe, *observed_pair_stats(cfg))
@@ -129,8 +133,11 @@ def candidate_pairs(
     # side only, the two subtrees stop being canonically equal, and the
     # pinned exchange is evaluated twice instead of reused
     right = ranked.filter(F.col("bn") > 0).select(
-        F.col("block_key"), F.col("uid").alias("uid_b")
+        F.col("block_key"),
+        F.col("uid").alias("uid_b"),
+        *([F.col("h").alias("h_b")] if has_h else []),
     )
+    out_cols = ["uid_a", "uid_b"] + (["h_a", "h_b"] if has_h else [])
     pairs = (
         left.join(right, "block_key")
         .filter(F.col("uid_a") < F.col("uid_b"))
@@ -138,7 +145,7 @@ def candidate_pairs(
             (F.col("bn") <= F.lit(cfg.full_join_max))
             | (F.col("rn_a") <= F.lit(cfg.anchor_rank))
         )
-        .select("uid_a", "uid_b")
+        .select(*out_cols)
         .distinct()
     )
     return pairs
@@ -149,6 +156,7 @@ def candidate_pairs_salted(
     cfg: PairsConfig = PairsConfig(),
     salt_threshold: int = 1024,
     rows_per_salt: int = 512,
+    hot_tier: str = "anchor",
 ) -> DataFrame:
     """Salted physical strategy for the same logical pair set (north rule:
     "salted, explicitly repartitioned" block keys).
@@ -171,29 +179,48 @@ def candidate_pairs_salted(
     AQE dedupes identical shuffle stages, but only below an exchange
     boundary). The big table is sorted once and shuffled twice total
     (window + post-window exchange) no matter how skewed the keys are.
+
+    ``hot_tier`` (VERDICT r3 "What's wrong" #3): ``'anchor'`` (default)
+    emits only anchor→member pairs above the cap — connectivity-preserving,
+    which is all transitive CLUSTERING needs, but a hot block's
+    member–member near-dup pairs are absent from the standalone pair list
+    (counted in the drop stats, not emitted). ``'within_salt'`` additionally
+    emits ALL pairs inside each ≤``rows_per_salt``-row salt bucket — bounded
+    O(rows_per_salt·n) work with no single-reducer blowup, recovering the
+    bulk of member–member recall for recall-sensitive dedup. Cross-bucket
+    member pairs remain connected only through the replicated anchors (by
+    construction; still logged, still not silent).
     """
+    if hot_tier not in ("anchor", "within_salt"):
+        raise ValueError(
+            f"hot_tier must be 'anchor' or 'within_salt', got {hot_tier!r}"
+        )
     # the exact: exclusion only applies to the pipeline's string key space;
     # dedup callers pass xxhash64-compressed (long) keys with no exact tier
     if dict(blocks.dtypes).get("block_key") == "string":
         blocks = blocks.filter(~F.col("block_key").startswith("exact:"))
+    has_h = "h" in blocks.columns
+    h_a = [F.col("h").alias("h_a")] if has_h else []
+    h_b = [F.col("h").alias("h_b")] if has_h else []
+    out_cols = ["uid_a", "uid_b"] + (["h_a", "h_b"] if has_h else [])
     ranked = _rank_and_size(blocks).repartition("block_key")
 
     # small blocks: plain within-block self-join, both sides off the reused
     # exchange, already co-partitioned by block_key
     small = ranked.filter(F.col("bn") <= cfg.full_join_max)
-    s_left = small.select("block_key", F.col("uid").alias("uid_a"))
-    s_right = small.select("block_key", F.col("uid").alias("uid_b"))
+    s_left = small.select("block_key", F.col("uid").alias("uid_a"), *h_a)
+    s_right = small.select("block_key", F.col("uid").alias("uid_b"), *h_b)
     small_pairs = (
         s_left.join(s_right, "block_key")
         .filter(F.col("uid_a") < F.col("uid_b"))
-        .select("uid_a", "uid_b")
+        .select(*out_cols)
     )
 
     # hot blocks: salt members; replicate anchors to every salt bucket
     hot = ranked.filter(F.col("bn") > cfg.full_join_max)
     n_salts = _n_salts(rows_per_salt)
     members = _salted_hot_members(hot, rows_per_salt).select(
-        "block_key", "salt", F.col("uid").alias("uid_b")
+        "block_key", "salt", F.col("uid").alias("uid_b"), *h_b
     )
     anchors = (
         hot.filter(F.col("rn") <= cfg.anchor_rank)
@@ -202,16 +229,44 @@ def candidate_pairs_salted(
             "block_key",
             F.explode("salt_arr").alias("salt"),
             F.col("uid").alias("uid_a"),
+            *h_a,
         )
+    )
+    members_p = members.repartition("block_key", "salt")
+    # orient (uid_a < uid_b); when carrying h, swap h alongside the uids
+    fwd = F.col("uid_a") < F.col("uid_b")
+    oriented = [
+        F.least("uid_a", "uid_b").alias("uid_a"),
+        F.greatest("uid_a", "uid_b").alias("uid_b"),
+    ] + (
+        [
+            F.when(fwd, F.col("h_a")).otherwise(F.col("h_b")).alias("h_a"),
+            F.when(fwd, F.col("h_b")).otherwise(F.col("h_a")).alias("h_b"),
+        ]
+        if has_h
+        else []
     )
     hot_pairs = (
-        anchors.join(members.repartition("block_key", "salt"), ["block_key", "salt"])
+        anchors.join(members_p, ["block_key", "salt"])
         .filter(F.col("uid_a") != F.col("uid_b"))
-        .select(
-            F.least("uid_a", "uid_b").alias("uid_a"),
-            F.greatest("uid_a", "uid_b").alias("uid_b"),
-        )
+        .select(*oriented)
     )
+    if hot_tier == "within_salt":
+        # exhaustive pairs inside each salt bucket: both sides read the same
+        # pinned (block_key, salt) exchange, every reducer group is bounded
+        # by ~rows_per_salt members
+        w_left = members_p.select(
+            "block_key",
+            "salt",
+            F.col("uid_b").alias("uid_a"),
+            *([F.col("h_b").alias("h_a")] if has_h else []),
+        )
+        within = (
+            w_left.join(members_p, ["block_key", "salt"])
+            .filter(F.col("uid_a") < F.col("uid_b"))
+            .select(*out_cols)
+        )
+        hot_pairs = hot_pairs.unionByName(within)
     return small_pairs.unionByName(hot_pairs).distinct()
 
 

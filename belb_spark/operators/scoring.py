@@ -34,6 +34,16 @@ class ScoringConfig:
     w_cos: float = 0.40
     clip_chars: int = 600
     threshold: float = 0.62           # final edge cut (dev-tuned)
+    # partitions for the Arrow-UDF stage as waves-per-core. 3 (default) =
+    # the r2-r4 evidence shape: an explicit exchange isolates the python
+    # scorer on 3 waves/core. 0 = no exchange: the UDF pipelines directly
+    # off the payload join (JVM join work and python scoring overlap per
+    # task). Measured r4 at xxl: overlap cuts local[4] wall ~30%
+    # (142→102 s) but leaves local[16] flat (~52 s) — the 4N side's python
+    # phase is already short relative to its join phase — so it RAISES
+    # absolute low-core throughput while LOWERING the N→4N scaling ratio.
+    # Kept as an option for throughput-first deployments.
+    udf_waves: int = 3
 
 
 def score_pairs(
@@ -58,18 +68,41 @@ def score_pairs(
         # 16-byte column instead of re-deriving md5(to_json(tokens)) each
         key = F.col("h")
     elif "norm_tokens" in normalized.columns:
-        key = F.md5(F.to_json("norm_tokens"))
+        key = F.unhex(F.md5(F.to_json("norm_tokens")))
     else:
-        key = F.md5(F.concat_ws("", F.to_json("token_set"), "norm_text"))
+        key = F.unhex(
+            F.md5(F.concat_ws("", F.to_json("token_set"), "norm_text"))
+        )
     feats = normalized.select("uid", "token_set", "norm_text", key.alias("h"))
-    ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))
-    hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))
-    keyed = pairs.join(ha, "uid_a").join(hb, "uid_b")
+    if "h_a" in pairs.columns and "h_b" in pairs.columns:
+        # pairs arrive pre-keyed (the candidates stage emitted h_a/h_b
+        # alongside the uids): both uid→h translation joins — two full
+        # shuffles of the pair table — drop out of this stage entirely
+        keyed = pairs.select("uid_a", "uid_b", "h_a", "h_b")
+    else:
+        ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))
+        hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))
+        keyed = pairs.join(ha, "uid_a").join(hb, "uid_b")
+
+    # pin ONE exchange of the pair table on the content-key pair: the
+    # distinct below rides it without a second shuffle (partial agg over
+    # already-co-partitioned rows) and the final score join-back reuses the
+    # SAME exchange for its left side (AQE ReusedExchange) — one 12.8M-row
+    # shuffle where the r3 shape paid two
+    keyed = keyed.repartition("h_a", "h_b")
 
     # one representative payload per distinct content hash
     reps = feats.dropDuplicates(["h"]).select("h", "token_set", "norm_text")
+    # vacuously-true uid filters keep BOTH uid columns referenced in this
+    # branch, so the pruned subtree below the pinned exchange stays
+    # canonically equal to the join-back branch's — same trick as
+    # pairs._rank_and_size's `bn > 0` (without it, column pruning splits the
+    # exchange into two evaluations)
+    pair_keys = keyed.filter(
+        F.col("uid_a").isNotNull() & F.col("uid_b").isNotNull()
+    ).select("h_a", "h_b")
     payloads = (
-        keyed.select("h_a", "h_b")
+        pair_keys
         .distinct()
         .join(
             reps.select(
@@ -90,11 +123,14 @@ def score_pairs(
         .withColumn("jacc", token_jaccard("ts_a", "ts_b"))
         .filter(F.col("jacc") >= F.lit(cfg.jaccard_prefilter))
     )
-    # spread the Python-UDF stage across all workers: AQE happily coalesces
-    # the (byte-wise small) shuffle to 1-2 partitions, which would serialize
-    # the CPU-bound scorer. 3 waves per core: a straggler partition costs
-    # 1/3 wave, not a full one.
-    payloads = payloads.repartition(3 * spark.sparkContext.defaultParallelism)
+    # udf_waves > 0: spread the Python-UDF stage across its own exchange
+    # (3 waves/core was the r2-r3 shape). udf_waves == 0: no barrier — the
+    # scorer consumes the join's output within the same stage, overlapping
+    # JVM and python compute (see ScoringConfig.udf_waves).
+    if cfg.udf_waves:
+        payloads = payloads.repartition(
+            cfg.udf_waves * spark.sparkContext.defaultParallelism
+        )
     rich = make_rich_score_udf(cfg.w_jw, cfg.w_lev, cfg.w_cos, cfg.clip_chars)
     payload_scores = payloads.select(
         "h_a",

@@ -225,6 +225,58 @@ def ivf_centroids(
     return [(int(r["cid"]), list(r["v"])) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Trained IVF coarse quantizer (VERDICT r3 #4): seeded spherical
+    k-means (Lloyd's, ``n_iter`` rounds) over a BOUNDED deterministic
+    sample, run driver-side in numpy. Deterministic end to end: the sample
+    is the first ``sample`` rows in (xxhash64(id, seed), id) order, the
+    init is the first ``n_cells`` sample rows, assignment ties break toward
+    the lower cell index (numpy argmax), and empty cells keep their
+    previous centroid. Cell ids are 0..n_cells-1 (dense), so the trained
+    quantizer plugs into the same :func:`ivf_assign`/:func:`ivf_topk`
+    plan as the first-K baseline — only the centroid list changes.
+
+    Driver memory is bounded by ``sample`` rows regardless of corpus size;
+    at 10^12 rows you would raise ``sample`` to ~10^5-10^6 (still trivial
+    driver-side) or swap in a distributed groupBy-mean k-means behind this
+    same return type."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.col("cid"))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        return []
+    n_cells = min(n_cells, len(X))
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_cells].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(n_cells):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    C[c] = m / nm
+    return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
+
+
 def _cell_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """array<struct<c: cosine-to-centroid (6dp), n: -centroid_id>> — the
     struct ordering makes array_max/sort pick highest cosine with smaller
@@ -263,17 +315,23 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted by coarse
     cell; each query probes its ``n_probe`` nearest cells and exact-cosine
     re-ranks only those cells' vectors. Output (query_id, vec_id, rank,
     cosine), rank deterministic via (cosine 3dp desc, vec_id).
 
+    ``centroids``: pass :func:`ivf_centroids_kmeans` output for a trained
+    quantizer (better recall); default is the deterministic first-K
+    baseline that the DuckDB oracle reproduces.
+
     Scale shape: the corpus side is shuffled ONCE by cell (at rest this is
     the table's bucket/partition key, so the probe join is partition-pruned
     to n_probe cells per query); the query→cell probe list is tiny and
     broadcast. Nothing driver-side except the bounded centroid fetch."""
-    centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
 
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),

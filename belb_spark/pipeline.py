@@ -64,6 +64,13 @@ class ERConfig:
     checkpoint_mode: str = "sync"
 
 
+# bump when a stage's checkpoint schema changes (columns added/removed/
+# retyped): a resume against parquet written by another version must rebuild
+# rather than fail mid-pipeline on a missing column. v2 = binary content key
+# h in 01_normalize + pre-keyed h_a/h_b in 03_candidates (r4).
+_STAGE_SCHEMA_VERSION = 2
+
+
 @dataclass
 class ERResult:
     assignment: DataFrame           # (uid, cluster)
@@ -79,11 +86,16 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     cfg: ERConfig = ERConfig(),
 ) -> ERResult:
-    # the resume signature covers config AND input identity: re-running the
-    # same checkpoint_dir over changed input rebuilds instead of silently
-    # reusing stale stage parquet (ADVICE r1)
+    # the resume signature covers config, input identity AND the stage
+    # schema version: re-running the same checkpoint_dir over changed input
+    # (ADVICE r1) or across a stage-schema change (r4: candidates carry
+    # binary h_a/h_b) rebuilds instead of reusing incompatible parquet
     sig = config_signature(
-        {"cfg": dataclasses.asdict(cfg), "input": input_fingerprint(repos)}
+        {
+            "cfg": dataclasses.asdict(cfg),
+            "input": input_fingerprint(repos),
+            "stage_schema": _STAGE_SCHEMA_VERSION,
+        }
     )
     metrics: dict[str, Any] = {}
 
@@ -145,16 +157,20 @@ def _run_pipeline_body(
 
     # 1. normalize (content untouched; sha carried). norm_text/token_set are
     # derived again after read — cheap JVM expressions, not worth the bytes.
-    # The 16-byte content key h IS stored: scoring's slim shuffle needs it on
-    # three branches (both pair sides + the payload reps), so computing the
-    # md5(to_json(tokens)) here once beats re-deriving it 3× per run.
+    # The content key h IS stored: scoring's slim shuffle needs it on three
+    # branches (both pair sides + the payload reps), so computing the
+    # md5(to_json(tokens)) here once beats re-deriving it 3× per run. Stored
+    # as BINARY(16), not hex — it rides the block explode and the candidate
+    # pair table (r4: pairs ship pre-keyed so the scoring stage loses both
+    # uid→h translation shuffles), and 16 bytes beat 32-char strings on
+    # every one of those shuffles.
     norm_res = run_stage(
         "01_normalize",
         lambda: normalize(repos_in, synonym_dict).select(
             "uid",
             "content_sha",
             "norm_tokens",
-            F.md5(F.to_json("norm_tokens")).alias("h"),
+            F.unhex(F.md5(F.to_json("norm_tokens"))).alias("h"),
         ),
     )
     norm = norm_res.df.withColumn(
@@ -201,7 +217,14 @@ def _run_pipeline_body(
         else:
             blk = candidate_pairs(blocks, cfg.pairs, observe=obs)
         blk = blk.withColumn("src", F.lit("block"))
-        exact = exact_duplicate_edges(norm).withColumn("src", F.lit("exact"))
+        # exact rows are never scored — null content keys keep the union
+        # schema aligned with the pre-keyed block pairs
+        exact = (
+            exact_duplicate_edges(norm)
+            .withColumn("src", F.lit("exact"))
+            .withColumn("h_a", F.lit(None).cast("binary"))
+            .withColumn("h_b", F.lit(None).cast("binary"))
+        )
         # a pair that is an exact duplicate needs no scoring — keep the
         # exact row, drop the block duplicate
         blk_only = blk.join(
@@ -245,7 +268,11 @@ def _run_pipeline_body(
     metrics["max_block_size"] = int(stats["max_block"] or 0)
 
     exact_edges = cand_res.df.filter(F.col("src") == "exact").select("uid_a", "uid_b")
-    block_pairs = cand_res.df.filter(F.col("src") == "block").select("uid_a", "uid_b")
+    # pre-keyed (h_a/h_b rode the self-join): score_pairs skips both uid→h
+    # translation shuffles
+    block_pairs = cand_res.df.filter(F.col("src") == "block").select(
+        "uid_a", "uid_b", "h_a", "h_b"
+    )
     if cand_res.partition_rows:
         n_exact = cand_res.partition_rows.get("src=exact", 0)
     else:  # async/ephemeral: one cheap count off the persisted build

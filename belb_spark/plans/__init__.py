@@ -22,9 +22,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    return plan_string(df).count("Exchange hashpartitioning") + plan_string(df).count(
-        "Exchange rangepartitioning"
-    )
+    # 'simple' mode: formatted mode prints exchange arguments in a separate
+    # details section, so 'Exchange hashpartitioning' never matches there
+    s = plan_string(df, "simple")
+    return s.count("Exchange hashpartitioning") + s.count("Exchange rangepartitioning")
 
 
 def has_pushed_filters(df: DataFrame) -> bool:
@@ -40,3 +41,18 @@ def arrow_eval_count(df: DataFrame) -> int:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return plan_string(df).count("WholeStageCodegen")
+
+
+def final_plan_section(df: DataFrame) -> str:
+    """The '== Final Plan ==' section of an EXECUTED adaptive plan (falls
+    back to the whole string pre-execution / with AQE off). Runtime facts —
+    which exchanges were reused, how many Python stages actually ran — live
+    here, not in the initial plan: AQE performs exchange reuse at stage
+    materialization time, so the static explain shows two copies of a
+    subtree that executes once (ADVICE r3 on pairs.candidate_pairs)."""
+    s = plan_string(df, "simple")
+    if "== Final Plan ==" in s:
+        s = s.split("== Final Plan ==")[1]
+        if "== Initial Plan ==" in s:
+            s = s.split("== Initial Plan ==")[0]
+    return s

@@ -118,6 +118,41 @@ def rrf_txt(n: int = 400) -> str:
     return "\n".join(lines) + "\n"
 
 
+def tar_members(n: int = 36) -> dict[str, str]:
+    """Member name → text for the S3 tar fixture. The SAME texts are written
+    twice: packed into members.tar.gz (the Spark reader's input) and
+    extracted under tar_members/ (the DuckDB oracle's input) — agreement
+    checks the tar walk, not the texts."""
+    return {
+        f"doc_{i:03d}.txt": (
+            f"member {i} {WORDS[i % 8]}\nline two {CATS[i % 5]}\n"
+            f"checksum {(i * 37 + 11) % 1009}\n"
+        )
+        for i in range(n)
+    }
+
+
+def write_tar_fixture() -> None:
+    import io
+    import tarfile
+
+    members = tar_members()
+    buf = io.BytesIO()
+    # deterministic bytes: fixed mtime/uid/gid, sorted members, gzip mtime=0
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name in sorted(members):
+            data = members[name].encode()
+            info = tarfile.TarInfo(name=f"corpus/{name}")
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    (OUT / "members.tar.gz").write_bytes(gzip.compress(buf.getvalue(), mtime=0))
+    ext = OUT / "tar_members"
+    ext.mkdir(exist_ok=True)
+    for name, text in members.items():
+        (ext / name).write_text(text)
+
+
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     (OUT / "records.txt").write_text(records_txt())
@@ -127,6 +162,7 @@ def main() -> None:
     (OUT / "bioc.xml").write_text(bioc_xml(docs))
     (OUT / "table.tsv.gz").write_bytes(tsv_gz())
     (OUT / "rrf.txt").write_text(rrf_txt())
+    write_tar_fixture()
     for f in sorted(OUT.iterdir()):
         print(f, f.stat().st_size)
 

@@ -38,7 +38,7 @@ sys.path.insert(0, str(REPO))
 RUNNER = r"""
 import json, sys, time, tempfile, shutil, pathlib
 master, data_dir, scale = sys.argv[1], sys.argv[2], sys.argv[3]
-mode = sys.argv[4] if len(sys.argv) > 4 else "async"
+mode = sys.argv[4] if len(sys.argv) > 4 else "sync"
 strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
@@ -86,11 +86,12 @@ def run_level(
     data_dir: str,
     scale: str,
     repeats: int,
-    mode: str = "async",
+    mode: str = "sync",
     strategy: str = "capped",
     n_part: int = 0,
     ckpt_base: str = "",
     bcast: str = "",
+    heap: str = "16g",
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -102,7 +103,7 @@ def run_level(
             "--master", master,
             # the builder's spark.driver.memory is ignored once the JVM is
             # up — must be a submit-time flag
-            "--driver-memory", "16g",
+            "--driver-memory", heap,
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
             str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
         ]
@@ -112,6 +113,7 @@ def run_level(
             print(out.stdout[-2000:], out.stderr[-4000:], file=sys.stderr)
             raise RuntimeError(f"no RESULT from {master}")
         r = json.loads(line[-1][len("RESULT "):])
+        r["heap"] = heap
         r["load_before"] = load_before
         r["load_after"] = _loadavg()
         if best is None or r["wall_sec"] < best["wall_sec"]:
@@ -307,7 +309,8 @@ def main() -> int:
         "--mode/--strategy), append the result to BENCH/scaling_runs_"
         "<scale>.jsonl, and exit. Assemble later with --assemble.",
     )
-    ap.add_argument("--mode", default="async", choices=["async", "sync", "off"])
+    # sync is both the ERConfig default and the evidence mode (VERDICT r3 #2)
+    ap.add_argument("--mode", default="sync", choices=["async", "sync", "off"])
     ap.add_argument("--bcast", default="", help="override spark.sql.autoBroadcastJoinThreshold for the run")
     ap.add_argument(
         "--ckpt-base",
@@ -323,6 +326,26 @@ def main() -> int:
         action="store_true",
         help="build BENCH/BASELINE.md + scaling_<scale>.json from the "
         "recorded incremental runs (best wall per level/mode/strategy)",
+    )
+    ap.add_argument(
+        "--evidence",
+        type=int,
+        default=0,
+        metavar="K",
+        help="run K interleaved (N, 4N) pairs back-to-back and write the "
+        "per-pair efficiency table (BENCH/evidence_<scale>.json) — the "
+        "contract-grade protocol: no best-of, every pair reported with "
+        "loadavg. Combine with --heap-per-core.",
+    )
+    ap.add_argument(
+        "--heap-per-core",
+        type=float,
+        default=0.0,
+        metavar="GB",
+        help="scale the driver heap with cores (GB per core): the honest "
+        "stand-in for a cluster where 4N executors bring 4x the aggregate "
+        "memory of N executors at a fixed executor spec. 0 = legacy fixed "
+        "16g at both levels.",
     )
     ap.add_argument(
         "--decompose",
@@ -379,6 +402,59 @@ def main() -> int:
 
     cfg, data_dir = prepare(args.scale)
 
+    if args.evidence:
+        # contract-grade protocol (VERDICT r3 #1): K interleaved (N, 4N)
+        # pairs, every pair reported (no best-of), loadavg per run, heap
+        # scaled per-core when --heap-per-core is set
+        rows = []
+        for k in range(args.evidence):
+            for cores in (args.n_cores, 4 * args.n_cores):
+                heap = (
+                    f"{max(2, round(args.heap_per_core * cores))}g"
+                    if args.heap_per_core
+                    else "16g"
+                )
+                r = run_level(
+                    f"local[{cores}]", data_dir, args.scale, 1, args.mode,
+                    args.strategy, ckpt_base=args.ckpt_base, heap=heap,
+                )
+                r["pair"] = k
+                f = runs_file(args.scale)
+                f.parent.mkdir(exist_ok=True)
+                with f.open("a") as fh:
+                    fh.write(json.dumps(r) + "\n")
+                rows.append(r)
+                print(json.dumps(r))
+        table = []
+        for k in range(args.evidence):
+            n = next(r for r in rows if r["pair"] == k and r["cores"] == args.n_cores)
+            n4 = next(r for r in rows if r["pair"] == k and r["cores"] == 4 * args.n_cores)
+            table.append({
+                "pair": k,
+                "eff_pairs_scored": round(
+                    n4["pairs_scored_per_sec"] / (4 * n["pairs_scored_per_sec"]), 3),
+                "eff_e2e": round(n4["pairs_per_sec"] / (4 * n["pairs_per_sec"]), 3),
+                "N_wall": n["wall_sec"], "x4N_wall": n4["wall_sec"],
+                "N_score_wall": n["score_wall_sec"],
+                "x4N_score_wall": n4["score_wall_sec"],
+                "f1": [n["test_f1"], n4["test_f1"]],
+                "loads": [n["load_before"], n["load_after"],
+                          n4["load_before"], n4["load_after"]],
+            })
+        effs = sorted(t["eff_pairs_scored"] for t in table)
+        summary = {
+            "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
+            "heap_per_core_gb": args.heap_per_core,
+            "pairs": table,
+            "median_eff_pairs_scored": effs[len(effs) // 2],
+            "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
+            "median_eff_e2e": sorted(t["eff_e2e"] for t in table)[len(table) // 2],
+        }
+        out = REPO / "BENCH" / f"evidence_{args.scale}.json"
+        out.write_text(json.dumps(summary, indent=2))
+        print(json.dumps(summary, indent=2))
+        return 0
+
     if args.one:
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
@@ -389,6 +465,16 @@ def main() -> int:
         with f.open("a") as fh:
             fh.write(json.dumps(r) + "\n")
         print(json.dumps(r, indent=2))
+        # auto-assemble after every append (VERDICT r3 #3: the report was a
+        # stale snapshot that missed the best recorded runs) — the table is
+        # now best-of over ALL recorded runs by construction
+        import subprocess as _sp
+
+        _sp.run(
+            [sys.executable, __file__, "--scale", args.scale, "--assemble",
+             "--n-cores", str(args.n_cores)],
+            capture_output=True,
+        )
         return 0
 
     # interleave repeats (N, 4N, N, 4N, ...) so bursty co-tenant load on this

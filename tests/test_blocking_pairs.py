@@ -88,3 +88,51 @@ def test_exact_duplicate_edges_star_shape(norm):
     a_set = {r["uid_a"] for r in edges.select("uid_a").distinct().collect()}
     b_set = {r["uid_b"] for r in edges.select("uid_b").distinct().collect()}
     assert not (a_set & b_set)
+
+
+def test_within_salt_hot_tier_recovers_member_pairs(spark):
+    """VERDICT r3 'What's wrong' #3: hot_tier='within_salt' additionally
+    emits every pair inside each salt bucket (recall for standalone dedup)
+    while each reducer group stays bounded by ~rows_per_salt."""
+    import pandas as pd
+
+    from belb_spark.operators.pairs import (
+        PairsConfig,
+        _rank_and_size,
+        _salted_hot_members,
+        candidate_pairs_salted,
+        salt_distribution,
+    )
+
+    # one hot block of 120 rows + one small block of 5
+    rows = [(i, "hot") for i in range(120)] + [(1000 + i, "cold") for i in range(5)]
+    blocks = spark.createDataFrame(pd.DataFrame(rows, columns=["uid", "block_key"]))
+    cfg = PairsConfig(full_join_max=8, anchor_rank=2)
+
+    anchor = candidate_pairs_salted(blocks, cfg, rows_per_salt=16)
+    within = candidate_pairs_salted(blocks, cfg, rows_per_salt=16, hot_tier="within_salt")
+
+    a_set = {(r["uid_a"], r["uid_b"]) for r in anchor.collect()}
+    w_set = {(r["uid_a"], r["uid_b"]) for r in within.collect()}
+    assert a_set <= w_set
+    assert len(w_set) > len(a_set)  # member-member pairs recovered
+
+    # expected recovered pairs: all pairs within each (block_key, salt)
+    # bucket of the hot tier, using the same deterministic salt assignment
+    ranked = _rank_and_size(blocks)
+    hot = ranked.filter(F.col("bn") > cfg.full_join_max)
+    buckets = {}
+    for r in _salted_hot_members(hot, 16).collect():
+        buckets.setdefault((r["block_key"], r["salt"]), []).append(r["uid"])
+    expected_within = set()
+    for uids in buckets.values():
+        us = sorted(uids)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                expected_within.add((us[i], us[j]))
+    assert expected_within <= w_set
+    assert w_set == a_set | expected_within
+
+    # the bound still holds: no reducer group materially over rows_per_salt
+    dist = salt_distribution(blocks, cfg, rows_per_salt=16)
+    assert dist.agg(F.max("members")).collect()[0][0] <= 2 * 16

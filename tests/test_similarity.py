@@ -121,3 +121,42 @@ def test_ivf_topk_finds_near_dups(spark):
     # top-1 recall: every query's true nearest neighbor survives the probe
     hits = sum(int(ivf1.get(q, -1) == v) for q, v in brute1.items())
     assert hits / len(brute1) >= 0.9
+
+
+def test_ivf_kmeans_centroids_recall_at_least_first_k(spark):
+    """VERDICT r3 #4: trained (seeded spherical k-means) centroids plug into
+    the same ivf_topk plan and must match-or-beat the first-K baseline's
+    recall@k against brute-force ground truth on the near-dup families;
+    training itself must be deterministic (same seed → same centroids)."""
+    from belb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids_kmeans,
+        ivf_topk,
+    )
+
+    pdf = _vectors()
+    df = spark.createDataFrame(pdf[["vec_id", "embedding"]])
+    corpus = df.filter(F.col("vec_id") >= 12)
+    queries = df.filter(F.col("vec_id") < 12)
+
+    trained = ivf_centroids_kmeans(corpus, n_cells=8, seed=7)
+    again = ivf_centroids_kmeans(corpus, n_cells=8, seed=7)
+    assert trained == again
+    assert len(trained) == 8 and [c for c, _ in trained] == list(range(8))
+
+    k = 3
+    brute = cosine_topk(corpus, queries, k=k).toPandas()
+    truth = brute.groupby("query_id")["vec_id"].apply(set)
+
+    def recall(res):
+        got = res.toPandas().groupby("query_id")["vec_id"].apply(set)
+        return sum(
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+        ) / len(truth)
+
+    r_first = recall(ivf_topk(corpus, queries, k=k, n_cells=8, n_probe=2))
+    r_train = recall(
+        ivf_topk(corpus, queries, k=k, n_cells=8, n_probe=2, centroids=trained)
+    )
+    assert r_train >= r_first, (r_train, r_first)
+    assert r_train >= 0.9

