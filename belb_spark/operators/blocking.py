@@ -177,8 +177,13 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig = BlockingConfig()) ->
     # joins at all (r4). 16 bytes per exploded row, dictionary-encoded at
     # rest (each uid's h repeats once per key family).
     carry = ["uid", "h"] if "h" in df.columns else ["uid"]
-    out = (
-        df.select(*carry, F.explode(F.concat(*keys)).alias("block_key"))
-        .distinct()
+    # dedupe PER ROW, not globally: every key is family-prefixed ("exact:",
+    # "pfx:", "mh{b}:") and unique within its family, so a (uid, key) pair
+    # can only repeat inside one row's concat array — array_distinct is the
+    # whole dedup. The r1-r3 global `.distinct()` here was semantically a
+    # no-op that shuffled + hash-aggregated the full exploded table once
+    # per run (removed r4).
+    out = df.select(
+        *carry, F.explode(F.array_distinct(F.concat(*keys))).alias("block_key")
     )
     return out.repartition("block_key")

@@ -84,25 +84,17 @@ def score_pairs(
         hb = feats.select(F.col("uid").alias("uid_b"), F.col("h").alias("h_b"))
         keyed = pairs.join(ha, "uid_a").join(hb, "uid_b")
 
-    # pin ONE exchange of the pair table on the content-key pair: the
-    # distinct below rides it without a second shuffle (partial agg over
-    # already-co-partitioned rows) and the final score join-back reuses the
-    # SAME exchange for its left side (AQE ReusedExchange) — one 12.8M-row
-    # shuffle where the r3 shape paid two
-    keyed = keyed.repartition("h_a", "h_b")
-
-    # one representative payload per distinct content hash
+    # one representative payload per distinct content hash.
+    # (Measured r4 dead end: pinning keyed behind one repartition(h_a, h_b)
+    # for the distinct + join-back to share — the vacuous-uid-filter trick
+    # that keeps the subtrees canonically equal dies to NOT-NULL
+    # simplification, and the explicit exchange also defeats the distinct's
+    # map-side partial aggregate, shuffling 12.8M rows where the plain
+    # distinct ships ~the distinct count. Two slim scans of the pair table
+    # are cheaper than one fat pinned exchange.)
     reps = feats.dropDuplicates(["h"]).select("h", "token_set", "norm_text")
-    # vacuously-true uid filters keep BOTH uid columns referenced in this
-    # branch, so the pruned subtree below the pinned exchange stays
-    # canonically equal to the join-back branch's — same trick as
-    # pairs._rank_and_size's `bn > 0` (without it, column pruning splits the
-    # exchange into two evaluations)
-    pair_keys = keyed.filter(
-        F.col("uid_a").isNotNull() & F.col("uid_b").isNotNull()
-    ).select("h_a", "h_b")
     payloads = (
-        pair_keys
+        keyed.select("h_a", "h_b")
         .distinct()
         .join(
             reps.select(
