@@ -571,6 +571,91 @@ def q_stream_dedup_exact(spark, sf_dir):
     return spark.read.parquet(outp).select("content_sha").distinct()
 
 
+def q_text_unigram_freq(spark, sf_dir):
+    """LM-ish quality scoring: corpus-unigram frequency score per doc
+    (operators/text.unigram_freq_score) — integer sums + one exact
+    division, so the oracle hash-matches bit-for-bit."""
+    from belb_spark.operators.text import unigram_freq_score
+
+    return unigram_freq_score(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("sum_freq").cast("long"),
+        "mean_freq",
+    )
+
+
+def q_text_contamination(spark, sf_dir):
+    """Decontamination pass: 5-gram overlap of every doc against a
+    'benchmark' slice (doc_id % 97 == 0) — the n-gram test-set-leak check a
+    pretraining pipeline runs before training."""
+    from belb_spark.operators.text import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = benchmark_contamination(docs, bench, "doc_id", "text", width=5)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_shingles").cast("long"),
+        F.col("n_overlap").cast("long"),
+        "overlap_ratio",
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Domain-mixing primitive: deterministic per-lang quota sample
+    (relational.stratified_quota_sample) — seedless md5 order, capped at
+    100 docs per stratum."""
+    out = R.stratified_quota_sample(_docs(spark, sf_dir), "lang", "doc_id", 100)
+    return out.select(
+        F.col("doc_id").cast("long"), "lang", F.col("sample_rank").cast("long")
+    )
+
+
+def q_stream_hourly_window(spark, sf_dir):
+    """§2.11 streaming twin #2, oracle-gated: availableNow drain of the
+    events table through the watermarked tumbling-window aggregation
+    (streaming/incremental.windowed_event_counts semantics) into a
+    complete-mode memory sink — append mode would hold back windows the
+    watermark has not passed, complete emits the full result, which must
+    equal the batch GROUP BY the oracle computes. Sums ride DECIMAL(18,2)
+    so accumulation order cannot drift the doubles."""
+    import os
+    import tempfile
+    import uuid
+
+    from belb_spark.streaming.incremental import read_repo_stream
+
+    ingest = tempfile.mkdtemp(prefix="belb_stream_ev_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(ingest, "events.parquet"))
+    stream = read_repo_stream(spark, ingest)
+    events = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_tpch_q1(spark, sf_dir):
     return R.tpch_q1(spark, sf_dir).select(
         "l_returnflag",
@@ -766,6 +851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snk_tsv_roundtrip": q_snk_tsv_roundtrip,
         "snk_jsonl_roundtrip": q_snk_jsonl_roundtrip,
         "stream_dedup_exact": q_stream_dedup_exact,
+        "stream_hourly_window": q_stream_hourly_window,
+        "text_unigram_freq": q_text_unigram_freq,
+        "text_contamination": q_text_contamination,
+        "sample_stratified": q_sample_stratified,
         "min_code_assembly": q_min_code_assembly,
     }
 
@@ -1532,6 +1621,48 @@ FROM documents WHERE doc_id < 200
     # availableNow incremental dedup drain == batch DISTINCT semantics
     sql["stream_dedup_exact"] = """
 SELECT DISTINCT sha256(text) AS content_sha FROM documents
+"""
+
+    sql["text_unigram_freq"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+counts AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_tokens,
+       sum(c.freq)::BIGINT AS sum_freq,
+       round(sum(c.freq)::DOUBLE / count(*), 4) AS mean_freq
+FROM toks t JOIN counts c USING (tok)
+GROUP BY t.doc_id
+"""
+
+    sql["text_contamination"] = f"""
+WITH {_sh_cte(5)},
+b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_overlap FROM sh
+  WHERE s IN (SELECT s FROM b) GROUP BY doc_id
+)
+SELECT tot.doc_id::BIGINT AS doc_id, tot.n_shingles::BIGINT AS n_shingles,
+       COALESCE(hit.n_overlap, 0)::BIGINT AS n_overlap,
+       round(COALESCE(hit.n_overlap, 0)::DOUBLE / tot.n_shingles, 4) AS overlap_ratio
+FROM tot LEFT JOIN hit USING (doc_id)
+"""
+
+    sql["sample_stratified"] = """
+SELECT doc_id::BIGINT AS doc_id, lang, rn::BIGINT AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 100
+"""
+
+    sql["stream_hourly_window"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*)::BIGINT AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
 """
 
     sql["events_asof_signup"] = """

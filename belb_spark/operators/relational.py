@@ -319,3 +319,22 @@ def event_type_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = events.filter(F.col("ts") < cutoff).select("event_type", key).distinct()
     second = events.filter(F.col("ts") >= cutoff).select("event_type", key).distinct()
     return first.exceptAll(second)
+
+
+def stratified_quota_sample(
+    df: DataFrame, strata_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Deterministic per-stratum quota sampling (domain-mixing primitive:
+    cap every language/source at ``quota`` docs): rank rows within each
+    stratum by (md5(id), id) — a uniform, seedless, engine-portable order —
+    and keep the first ``quota``. Output rows + their sample_rank.
+
+    Scale shape: one window shuffle on the stratum key; skew bounded by the
+    biggest stratum (salt the window key if one domain dominates)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )

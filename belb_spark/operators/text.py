@@ -79,3 +79,78 @@ def doc_fingerprint(
         F.col(id_col).alias("doc_id"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def unigram_freq_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-unigram frequency score per doc — the language-model-ish
+    quality signal a pretraining pipeline uses to flag boilerplate (docs
+    dominated by corpus-frequent tokens score high, rare-token docs low).
+
+    score = mean over the doc's tokens of corpus_count(token). All integer
+    arithmetic until one final exact-integer division (bit-identical across
+    engines — a log-prob variant would hinge on ln() agreeing between libm
+    and the JVM, which IEEE does not guarantee). Output
+    (doc_id, n_tokens, sum_freq, mean_freq).
+
+    Scale shape: token counts are a groupBy over the exploded slim (token)
+    table; the per-doc attach is a broadcast-able join when the vocabulary
+    is dictionary-sized, a shuffle join otherwise — no Python either way.
+    """
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t"))
+    exploded = toks.select("doc_id", F.explode("t").alias("tok"))
+    counts = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    per_doc = (
+        exploded.join(counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        F.round(F.col("sum_freq") / F.col("n_tokens"), 4).alias("mean_freq"),
+    )
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 5,
+) -> DataFrame:
+    """Test-set contamination check: fraction of each doc's distinct token
+    ``width``-grams that appear in ANY benchmark document — the standard
+    n-gram-overlap decontamination pass before pretraining. Output
+    (doc_id, n_shingles, n_overlap, overlap_ratio), exact integers + one
+    final division.
+
+    Scale shape: both sides reduce to slim (shingle) tables; the benchmark
+    side is distinct-deduped and the membership test is a broadcast-able
+    left-semi join (benchmarks are small next to a 100 TB corpus)."""
+    d_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(tokens_col(text_col), width)).alias("s"),
+    )
+    b_sh = (
+        bench.select(F.explode(shingles_col(tokens_col(text_col), width)).alias("s"))
+        .distinct()
+    )
+    hits = d_sh.join(b_sh, "s", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    totals = d_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 4
+            ).alias("overlap_ratio"),
+        )
+    )

@@ -98,8 +98,6 @@ def test_within_salt_hot_tier_recovers_member_pairs(spark):
 
     from belb_spark.operators.pairs import (
         PairsConfig,
-        _rank_and_size,
-        _salted_hot_members,
         candidate_pairs_salted,
         salt_distribution,
     )
@@ -118,11 +116,17 @@ def test_within_salt_hot_tier_recovers_member_pairs(spark):
     assert len(w_set) > len(a_set)  # member-member pairs recovered
 
     # expected recovered pairs: all pairs within each (block_key, salt)
-    # bucket of the hot tier, using the same deterministic salt assignment
-    ranked = _rank_and_size(blocks)
-    hot = ranked.filter(F.col("bn") > cfg.full_join_max)
+    # bucket of the hot tier. Salts recomputed HERE from the raw documented
+    # rule (pmod(xxhash64(uid), ceil(bn/rows_per_salt))) — independent of
+    # the _salted_hot_members helper under test
+    n_salts = -(-120 // 16)  # ceil(bn / rows_per_salt) for the hot block
+    salted = blocks.filter(F.col("block_key") == "hot").select(
+        "uid",
+        "block_key",
+        F.pmod(F.xxhash64("uid"), F.lit(n_salts)).cast("int").alias("salt"),
+    )
     buckets = {}
-    for r in _salted_hot_members(hot, 16).collect():
+    for r in salted.collect():
         buckets.setdefault((r["block_key"], r["salt"]), []).append(r["uid"])
     expected_within = set()
     for uids in buckets.values():

@@ -102,3 +102,20 @@ def test_candidate_pairs_reuses_pinned_exchange_live(spark, tiny_spark):
     s = final_plan_section(pairs)
     assert s.count("ArrowEvalPython") == 2, s
     assert s.count("ReusedExchange") >= 1, s
+
+
+def test_block_keys_has_no_global_distinct(spark, tiny_spark):
+    """r4: the exploded key table needs no global dedup (keys are family-
+    prefixed and per-row unique) — the plan must carry exactly ONE exchange
+    (the pinned block_key repartition) and no aggregate; a reintroduced
+    .distinct() would add a 17M-row shuffle at xxl."""
+    from belb_spark.operators.blocking import BlockingConfig, block_keys
+    from belb_spark.operators.normalize import normalize
+    from belb_spark.plans import plan_string, shuffle_count
+
+    norm = normalize(
+        tiny_spark["repos"].filter(F.col("uid") >= -2), tiny_spark["synonym_dict"]
+    )
+    blocks = block_keys(norm, BlockingConfig())
+    assert shuffle_count(blocks) == 1
+    assert "HashAggregate" not in plan_string(blocks, "simple")
