@@ -171,10 +171,16 @@ def connected_components(
             "rounds — raise max_iter (graph diameter exceeds the round budget)"
         )
 
-    # converged: e is a star forest (member u -> root v)
-    labels = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster")).union(
-        e.select(F.col("v").alias("uid"), F.col("v").alias("cluster"))
+    # converged: e is a star forest (member u -> root v). Member rows are
+    # already unique on u (no multi-parent u at the fixpoint — exactly what
+    # _is_star_forest asserts), so only the root self-rows need a dedup:
+    # distinct over the (small) root set instead of shuffling the full
+    # label table (VERDICT r3 #1: cut the clusters stage's shuffle count)
+    members = e.select(F.col("u").alias("uid"), F.col("v").alias("cluster"))
+    roots = e.select(
+        F.col("v").alias("uid"), F.col("v").alias("cluster")
     ).distinct()
+    labels = members.unionByName(roots)
 
     if nodes is None:
         return labels
