@@ -12,9 +12,10 @@ This generalizes belb's two one-hop merge mechanisms to a true fixpoint:
   component (FIXTURES.md invariant 4).
 
 Scale notes: every round is two shuffles (groupBy u, join back). The input
-and every 2nd round take a reliable eager checkpoint — load-bearing, both
-for lineage truncation (the plan otherwise grows exponentially in rounds)
-and because each star round re-evaluates its input ~12× across branches,
+and every large+small round-pair take a reliable eager checkpoint —
+load-bearing, both for lineage truncation (the plan otherwise grows
+exponentially in rounds)
+and because each round-pair re-evaluates its input ~6× across branches,
 which is a trivial RDD scan from a checkpoint but catastrophically slow
 through a cached InMemoryRelation (see :func:`connected_components`
 docstring). Checkpoint files are reclaimed via
@@ -92,25 +93,28 @@ def _is_star_forest(edges: DataFrame) -> bool:
     u is a large-star fixpoint but not a small-star one, and a chain is
     collapsed by large-star — so violations == 0 ⟺ converged.)
 
-    One cheap job on a checkpointed edge set: a semi-join + a groupBy,
-    unioned and probed with isEmpty (early-exits on the first violation).
-    This replaces the r2 fingerprint-compare, which needed one extra
-    idempotent round-pair to OBSERVE convergence — the confirm pair was
-    ~half the clusters stage's driver jobs on fast-converging graphs.
+    ONE shuffle on a checkpointed edge set: tag each endpoint with which
+    side it came from, then a single groupBy over the tagged union — x is a
+    chain link iff it appears on both sides (nu>0 AND nv>0), a multi-parent
+    child iff it appears as u more than once (nu>1). This replaces the r4
+    shape (a semi-join + a separate groupBy = 3 shuffles, 5 AQE driver
+    jobs) with 1 shuffle / ~2 jobs, and replaces the r2
+    fingerprint-compare, which needed one extra idempotent round-pair to
+    OBSERVE convergence.
     """
-    one = F.lit(1).alias("one")
-    chains = (
-        edges.select(F.col("v").alias("x"))
-        .join(edges.select(F.col("u").alias("x")), "x", "left_semi")
-        .select(one)
+    tagged = edges.select(
+        F.col("u").alias("x"), F.lit(1).alias("as_u"), F.lit(0).alias("as_v")
+    ).unionAll(
+        edges.select(
+            F.col("v").alias("x"), F.lit(0).alias("as_u"), F.lit(1).alias("as_v")
+        )
     )
-    multi = (
-        edges.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .select(one)
+    violations = (
+        tagged.groupBy("x")
+        .agg(F.sum("as_u").alias("nu"), F.sum("as_v").alias("nv"))
+        .filter(((F.col("nu") > 0) & (F.col("nv") > 0)) | (F.col("nu") > 1))
     )
-    return chains.unionAll(multi).isEmpty()
+    return violations.isEmpty()
 
 
 def connected_components(
@@ -124,8 +128,8 @@ def connected_components(
     Physical-strategy notes, all measured at sf0.1/local[32]:
 
     - The input edge set takes an eager RELIABLE checkpoint, and so does
-      every 2nd round. Both are load-bearing: a star round references its
-      input ~12× across the union/groupBy/join branches, so (a) the logical
+      every large+small round-pair. Both are load-bearing: a round-pair
+      references its input ~6× across the union/groupBy/join branches, so (a) the logical
       plan grows EXPONENTIALLY in rounds without truncation (a persist-only
       chain OOMs the driver on plan bookkeeping at chain diameter ~30), and
       (b) each reference re-evaluates the input's plan — from a checkpoint
@@ -157,10 +161,21 @@ def connected_components(
         # never already-converged, so a pre-probe was a pure extra job; for
         # a converged input the first round-pair is idempotent and the probe
         # still exits the loop right after it.
+        #
+        # ONE large+small pair per iteration (not two fused): near-dup edge
+        # sets are star-LIKE already (components are small and shallow), so
+        # the overwhelmingly common case converges after a single pair —
+        # fusing a second pair into the same checkpoint (the r3/r4 shape)
+        # doubled the star rounds actually executed for zero extra progress
+        # and measured 2.6x the loop wall at sf0.1 (2.7s -> 1.0s, 18 -> 13
+        # driver jobs). For deep graphs the cost per star round is the same
+        # either way (each pair = ~4 edge-set shuffles + 1 distinct; the
+        # probe adds 2 cheap shuffles); only the checkpoint count rises, and
+        # early exit on the common case dominates that at every scale.
         if i > 0 and _is_star_forest(e):
             converged = True
             break
-        e = _small_star(_large_star(_small_star(_large_star(e))))
+        e = _small_star(_large_star(e))
         e = _canon(e).checkpoint(eager=True)
     # an exhausted iteration budget must not fall through silently: labels
     # built from a non-converged edge set can assign one uid to two clusters,

@@ -96,17 +96,24 @@ def main() -> int:
     repeats = int(os.environ.get("BELB_BENCH_REPEATS", "2"))
     qs = entrymod.queries()
     times: dict[str, float] = {}
+    loadavg: dict[str, list[float]] = {}  # 1-min loadavg before/after each
+    # query, so a reviewer can separate real drift from co-tenant noise
+    # without re-running (VERDICT r4 #9)
     t_all = time.time()
     for name in BENCH_QUERIES:
         best = float("inf")
+        la0 = os.getloadavg()[0]
         for _ in range(repeats):  # best-of-N: damp co-tenant CPU noise
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         spark.catalog.clearCache()  # drop the ops' persisted intermediates
         times[name] = round(best, 3)
+        loadavg[name] = [round(la0, 2), round(os.getloadavg()[0], 2)]
 
+    la_er0 = os.getloadavg()[0]
     er = run_er(spark, ER_SCALE)
+    er["loadavg"] = [round(la_er0, 2), round(os.getloadavg()[0], 2)]
     total = round(time.time() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
@@ -117,6 +124,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "loadavg": loadavg,
                 "sf": sf,
                 "cpus": int(cpus),
                 "er_pipeline": er,

