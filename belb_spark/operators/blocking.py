@@ -151,6 +151,13 @@ def block_keys(normalized: DataFrame, cfg: BlockingConfig = BlockingConfig()) ->
 
     Returns one row per (uid, key); repartitioned by block_key so the
     downstream within-block self-join shuffles once on an aligned layout.
+
+    PRECONDITION (ADVICE r4): the input must be unique on ``uid`` — there is
+    deliberately no global distinct here (it was a full extra shuffle that
+    never removed a row on the pipeline path, where normalize guarantees
+    uniqueness). A caller passing duplicate-uid rows gets duplicate
+    (uid, block_key) rows that inflate block sizes, window ranks, and the
+    observed pair stats downstream.
     """
     df = normalized
     exact = F.concat(F.lit("exact:"), F.sha2(F.col("norm_text"), 256))

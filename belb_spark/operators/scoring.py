@@ -77,7 +77,15 @@ def score_pairs(
     if "h_a" in pairs.columns and "h_b" in pairs.columns:
         # pairs arrive pre-keyed (the candidates stage emitted h_a/h_b
         # alongside the uids): both uid→h translation joins — two full
-        # shuffles of the pair table — drop out of this stage entirely
+        # shuffles of the pair table — drop out of this stage entirely.
+        # PRECONDITION (ADVICE r4): pre-keyed pairs must come from the SAME
+        # normalize build as `normalized` — a pair table materialized under
+        # a different tokenization carries foreign hashes that silently
+        # vanish at the payload inner join below instead of erroring. The
+        # in-pipeline path guarantees this (candidates and reps share one
+        # stage signature, and _STAGE_SCHEMA_VERSION invalidates stale
+        # checkpoints); external callers must re-derive keys by dropping
+        # h_a/h_b if provenance is unknown.
         keyed = pairs.select("uid_a", "uid_b", "h_a", "h_b")
     else:
         ha = feats.select(F.col("uid").alias("uid_a"), F.col("h").alias("h_a"))

@@ -122,13 +122,29 @@ def run_pipeline(
     # r3). finish()/shutdown() are idempotent, so the success path calling
     # them explicitly first is fine.
     try:
-        return _run_pipeline_body(
+        result = _run_pipeline_body(
             spark, repos, labeled_pairs, checkpoint_dir, cfg, sig, metrics,
             store, checks, synonym_dict,
         )
-    finally:
-        checks.shutdown(wait=False)
-        store.finish()
+    except BaseException:
+        # abort path: cancel queued sha-count jobs (not just stop accepting
+        # new ones) and never let a failed async write raised by finish()
+        # mask the root-cause stage exception (ADVICE r4)
+        checks.shutdown(wait=False, cancel_futures=True)
+        try:
+            store.finish()
+        except Exception as cleanup_err:  # noqa: BLE001 - secondary error
+            import warnings
+
+            warnings.warn(
+                f"checkpoint cleanup after pipeline abort failed: {cleanup_err!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        raise
+    checks.shutdown(wait=False)
+    store.finish()
+    return result
 
 
 def _run_pipeline_body(

@@ -615,14 +615,24 @@ def main() -> int:
                 for t in table:
                     t["pair"] += base
                 table = prior["pairs"] + table
+        def _median(xs):
+            # true median: average the two middle elements for even-length
+            # lists (the upper-middle pick biased contract-grade evidence
+            # upward — ADVICE r4)
+            xs = sorted(xs)
+            m = len(xs) // 2
+            if len(xs) % 2:
+                return xs[m]
+            return round((xs[m - 1] + xs[m]) / 2, 4)
+
         effs = sorted(t["eff_pairs_scored"] for t in table)
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core,
             "pairs": table,
-            "median_eff_pairs_scored": effs[len(effs) // 2],
+            "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
-            "median_eff_e2e": sorted(t["eff_e2e"] for t in table)[len(table) // 2],
+            "median_eff_e2e": _median([t["eff_e2e"] for t in table]),
         }
         out.write_text(json.dumps(summary, indent=2))
         print(json.dumps(summary, indent=2))
