@@ -800,8 +800,219 @@ def q_events_asof_signup(spark, sf_dir):
     )
 
 
+def q_kb_foreign_homonyms(spark, sf_dir):
+    """A5 FOREIGN_NAME_HOMONYMS (kb.foreign_name_homonyms, reference
+    belb/kbs/query.py:196-232) over a parts-derived dictionary:
+    identifier=p_partkey, name=p_type, foreign key=p_brand — names used by
+    >1 identifier across >1 foreign key."""
+    from belb_spark.operators.kb import foreign_name_homonyms
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    kb = part.filter(F.col("p_size") <= 15).select(
+        F.col("p_partkey").alias("identifier"),
+        F.col("p_type").alias("name"),
+        F.col("p_brand").alias("foreign_identifier"),
+    )
+    out = foreign_name_homonyms(kb)
+    return out.select(
+        "name",
+        F.col("n_identifiers").cast("long"),
+        F.col("n_foreign").cast("long"),
+    )
+
+
+def q_kb_attach_foreign(spark, sf_dir):
+    """J5 cross-KB foreign join (kb.attach_foreign_names, reference
+    belb/kbs/kb.py:572-661): suppliers resolve s_nationkey through a
+    nation-derived foreign KB carrying preferred (description=0) and
+    alias (description=1) rows; only the preferred name attaches."""
+    from belb_spark.operators.kb import attach_foreign_names
+
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    kb = supplier.select(
+        F.col("s_suppkey").alias("identifier"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("foreign_identifier"),
+    )
+    foreign = nation.select(
+        F.col("n_nationkey").alias("identifier"),
+        F.col("n_name").alias("name"),
+        F.lit(0).alias("description"),
+    ).unionByName(
+        nation.select(
+            F.col("n_nationkey").alias("identifier"),
+            F.upper("n_name").alias("name"),
+            F.lit(1).alias("description"),
+        )
+    )
+    out = attach_foreign_names(kb, foreign)
+    return out.select(
+        F.col("identifier").cast("long"), "name", "foreign_name"
+    )
+
+
+def q_split_zero_shot(spark, sf_dir):
+    """A14 zero-shot slice (evaluate.zero_shot_slice, reference
+    belb/scripts/get_mentions_subsets.py:82-108): test events whose
+    user never appears in the train split (train = 2% of event ids),
+    one broadcast-able left_anti join."""
+    from belb_spark.operators.evaluate import zero_shot_slice
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    train = events.filter(F.col("event_id") % 100 < 2)
+    test = events.filter(F.col("event_id") % 100 >= 2)
+    out = zero_shot_slice(train, test, "user_id")
+    return out.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long")
+    )
+
+
+def q_uid_dense_scalable(spark, sf_dir):
+    """W1 scale path (normalize.assign_uids_scalable): dense deterministic
+    1-based uid in (source, doc_id) order WITHOUT a single-partition global
+    sort — literal-boundary bucketing + bucket-local windows + broadcast
+    offsets. The oracle is a plain row_number(), so this row pins that the
+    bucketed path equals the global sort at any partition count."""
+    from belb_spark.operators.normalize import assign_uids_scalable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    out = assign_uids_scalable(docs, keys=["source", "doc_id"])
+    return out.select(
+        F.col("doc_id").cast("long"), F.col("uid").cast("long")
+    )
+
+
+def q_pairs_within_salt(spark, sf_dir):
+    """Hot-tier recall mode (pairs.candidate_pairs_salted hot_tier=
+    'within_salt', VERDICT r3 #3 / r4 #6): language blocks are all hot at
+    full_join_max=16, and rows_per_salt is set above every block size so
+    the within-salt tier must recover EXACTLY the exhaustive within-block
+    pair set — which is what the oracle computes."""
+    from belb_spark.operators.pairs import PairsConfig, candidate_pairs_salted
+
+    blocks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("uid"), F.col("lang").alias("block_key")
+    )
+    out = candidate_pairs_salted(
+        blocks,
+        cfg=PairsConfig(full_join_max=16, anchor_rank=4),
+        rows_per_salt=1_000_000,
+        hot_tier="within_salt",
+    )
+    return out.select(
+        F.col("uid_a").cast("long"), F.col("uid_b").cast("long")
+    )
+
+
+def q_mm_ppm_features(spark, sf_dir):
+    """Multimodal image path end to end (VERDICT r4 #8): JVM-built binary
+    P6 PPM payloads (multimodal.synth_ppm_col) decoded by the REAL numpy
+    decoder inside the single mapInPandas stage
+    (multimodal.extract_features fake_decode=False); the 4×4 grayscale
+    grid feature has the closed form (doc_id*31 + k*17) % 256 that the
+    oracle recomputes without decoding."""
+    from belb_spark.operators.multimodal import extract_features, synth_ppm_col
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_ppm_col(F.col("doc_id")).alias("payload"),
+    )
+    feats = extract_features(media, fake_decode=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode("feature").alias("k", "fval"),
+    ).select(
+        "doc_id", F.col("k").cast("long"), F.round("fval").cast("long").alias("fval")
+    )
+
+
+def q_mm_wav_features(spark, sf_dir):
+    """Multimodal audio path end to end: JVM-built PCM16 RIFF/WAVE payloads
+    (multimodal.synth_wav_col) through the REAL numpy WAV decoder; window
+    values stay < 4096 so the per-window RMS is exact in float32 and
+    round(rms*32768) equals the closed form ((doc_id*5 + k*9) % 100) * 40."""
+    from belb_spark.operators.multimodal import extract_features, synth_wav_col
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        synth_wav_col(F.col("doc_id")).alias("payload"),
+    )
+    feats = extract_features(media, fake_decode=False)
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.posexplode("feature").alias("k", "fval"),
+    ).select(
+        "doc_id",
+        F.col("k").cast("long"),
+        F.round(F.col("fval") * 32768).cast("long").alias("fval"),
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality filter (text.repetition_score): duplicate
+    3-gram fraction per doc — all-integer until one final division."""
+    from belb_spark.operators.text import repetition_score
+
+    out = repetition_score(_docs(spark, sf_dir), "doc_id", "text", width=3)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_grams").cast("long"),
+        F.col("n_distinct").cast("long"),
+        "dup_ratio",
+    )
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub (text.pii_redact) over docs with one injected email and
+    phone each (synthetic corpus carries none): match counts + md5 of the
+    redacted text, so the oracle hash-checks the full redacted output."""
+    from belb_spark.operators.text import pii_redact
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0199 now"),
+        ).alias("text"),
+    )
+    out = pii_redact(docs, "doc_id", "text")
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "n_emails",
+        "n_phones",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for the driver's 50-row correctness window (VERDICT r4 #2):
+    # entries with no driver-green row yet come FIRST (r4's four late
+    # registrations + this round's nine new queries), then the rest,
+    # longest-driver-green last — the 13 past position 50 are r1-era
+    # relational trivia, all still verified every session by
+    # scripts/check_oracles.py over the identical oracle SQL.
     return {
+        # --- never driver-verified: r4 late registrations
+        "text_unigram_freq": q_text_unigram_freq,
+        "text_contamination": q_text_contamination,
+        "sample_stratified": q_sample_stratified,
+        "min_code_assembly": q_min_code_assembly,
+        # --- new this round
+        "kb_foreign_homonyms": q_kb_foreign_homonyms,
+        "kb_attach_foreign": q_kb_attach_foreign,
+        "split_zero_shot": q_split_zero_shot,
+        "uid_dense_scalable": q_uid_dense_scalable,
+        "pairs_within_salt": q_pairs_within_salt,
+        "mm_ppm_features": q_mm_ppm_features,
+        "mm_wav_features": q_mm_wav_features,
+        "text_repetition": q_text_repetition,
+        "text_pii_redact": q_text_pii_redact,
+        # --- driver-green in r4, kept inside the window
         "dedup_exact": q_exact_dedup,
         "dedup_synset_clusters": q_synset_clusters,
         "dedup_minhash_lsh_pairs": q_minhash_pairs,
@@ -817,20 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_lang_id,
         "text_token_counts": q_token_counts,
         "text_fingerprint": q_fingerprint,
-        "tpch_q1_agg": q_tpch_q1,
-        "join_star_revenue": q_star_join,
-        "window_running_total": q_window_running,
-        "window_keep_first": q_window_keepfirst,
-        "semi_anti_membership": q_semi_anti,
         "history_fixpoint": q_history_fixpoint,
-        "explode_token_counts": q_explode_tokens,
-        "groupby_synset": q_synset_agg,
-        "name_homonyms": q_name_homonyms,
-        "json_props_extract": q_json_extract,
-        "events_hourly_window": q_events_window,
-        "event_type_except": q_event_except,
-        "dense_ids": q_dense_ids,
-        "min_by_shortest": q_min_by_shortest,
         "citations_grouping": q_citations_grouping,
         "doc_chunking": q_doc_chunking,
         "group_similarity_stats": q_group_similarity,
@@ -852,10 +1050,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snk_jsonl_roundtrip": q_snk_jsonl_roundtrip,
         "stream_dedup_exact": q_stream_dedup_exact,
         "stream_hourly_window": q_stream_hourly_window,
-        "text_unigram_freq": q_text_unigram_freq,
-        "text_contamination": q_text_contamination,
-        "sample_stratified": q_sample_stratified,
-        "min_code_assembly": q_min_code_assembly,
+        # --- past the driver's 50-row window: longest-stable r1-era
+        #     relational queries (still check_oracles-verified locally)
+        "tpch_q1_agg": q_tpch_q1,
+        "join_star_revenue": q_star_join,
+        "window_running_total": q_window_running,
+        "window_keep_first": q_window_keepfirst,
+        "semi_anti_membership": q_semi_anti,
+        "explode_token_counts": q_explode_tokens,
+        "groupby_synset": q_synset_agg,
+        "name_homonyms": q_name_homonyms,
+        "json_props_extract": q_json_extract,
+        "events_hourly_window": q_events_window,
+        "event_type_except": q_event_except,
+        "dense_ids": q_dense_ids,
+        "min_by_shortest": q_min_by_shortest,
     }
 
 
@@ -1674,6 +1883,94 @@ SELECT e.event_id::BIGINT AS event_id, e.user_id::BIGINT AS user_id,
        s.signup_value
 FROM events e ASOF LEFT JOIN signups s
   ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+    sql["kb_foreign_homonyms"] = """
+SELECT p_type AS name,
+       count(DISTINCT p_partkey)::BIGINT AS n_identifiers,
+       count(DISTINCT p_brand)::BIGINT AS n_foreign
+FROM part WHERE p_size <= 15
+GROUP BY p_type
+HAVING count(DISTINCT p_partkey) > 1 AND count(DISTINCT p_brand) > 1
+"""
+
+    sql["kb_attach_foreign"] = """
+SELECT s.s_suppkey::BIGINT AS identifier, s.s_name AS name,
+       n.n_name AS foreign_name
+FROM supplier s LEFT JOIN nation n
+  ON CAST(s.s_nationkey AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+"""
+
+    sql["split_zero_shot"] = """
+SELECT event_id::BIGINT AS event_id, user_id::BIGINT AS user_id
+FROM events e
+WHERE event_id % 100 >= 2
+  AND NOT EXISTS (
+    SELECT 1 FROM events t
+    WHERE t.event_id % 100 < 2 AND t.user_id = e.user_id
+  )
+"""
+
+    sql["uid_dense_scalable"] = """
+SELECT doc_id::BIGINT AS doc_id,
+       row_number() OVER (ORDER BY source, doc_id)::BIGINT AS uid
+FROM documents
+"""
+
+    sql["pairs_within_salt"] = """
+SELECT DISTINCT a.doc_id::BIGINT AS uid_a, b.doc_id::BIGINT AS uid_b
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+"""
+
+    sql["mm_ppm_features"] = """
+SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS k,
+       ((doc_id * 31 + k * 17) % 256)::BIGINT AS fval
+FROM documents, (SELECT unnest(range(16)) AS k) ks
+"""
+
+    sql["mm_wav_features"] = """
+SELECT doc_id::BIGINT AS doc_id, k::BIGINT AS k,
+       (((doc_id * 5 + k * 9) % 100) * 40)::BIGINT AS fval
+FROM documents, (SELECT unnest(range(16)) AS k) ks
+"""
+
+    sql[
+        "text_repetition"
+    ] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         len(t) - 2 AS n_grams,
+         len(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct
+  FROM toks WHERE len(t) >= 3
+)
+SELECT doc_id::BIGINT AS doc_id, n_grams::BIGINT AS n_grams,
+       n_distinct::BIGINT AS n_distinct,
+       round((n_grams - n_distinct)::DOUBLE / n_grams, 4) AS dup_ratio
+FROM g
+"""
+
+    sql["text_pii_redact"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or +1-555-0199 now'
+           AS text
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+         AS n_emails,
+       len(regexp_extract_all(text, '\+1-[0-9]{3}-[0-9]{4}'))::BIGINT
+         AS n_phones,
+       md5(regexp_replace(
+           regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+           '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM d
 """
 
     return sql

@@ -107,3 +107,11 @@ def metrics_dict(metrics_df: DataFrame) -> dict[str, dict[str, float]]:
         }
         for row in metrics_df.collect()
     }
+
+
+def zero_shot_slice(train, test, key: str):
+    """A14 zero-shot evaluation slice (belb/scripts/get_mentions_subsets.py:
+    82-108): test rows whose ``key`` value never appears in the train split
+    — one broadcast-able left_anti join against the distinct train keys
+    (the train key set is dictionary-sized next to the corpus)."""
+    return test.join(train.select(key).distinct(), key, "left_anti")

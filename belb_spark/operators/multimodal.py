@@ -274,3 +274,70 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ------------------------------------------------ JVM-side payload builders
+# Deterministic container payloads built with PURE JVM expressions
+# (hex-string assembly + unhex) so an end-to-end decode query needs no
+# Python until the single mapInPandas decode stage, and the decoded
+# features have a closed form an external SQL oracle can recompute.
+
+def _byte_hex(v) -> "F.Column":
+    """2-char hex of a 0..255 long column."""
+    return F.lpad(F.hex(v), 2, "0")
+
+
+def synth_ppm_col(seed_col, width: int = 4, height: int = 4) -> "F.Column":
+    """Binary P6 PPM payload column: pixel p (row-major) has all three
+    channels equal to (seed*31 + p*17) % 256. With width=height=4 the
+    4×4-grid grayscale feature of :func:`_real_decode_features` is exactly
+    feature[k] = (seed*31 + k*17) % 256 — the closed form a SQL oracle
+    recomputes without decoding."""
+    header_hex = f"P6\n{width} {height}\n255\n".encode().hex()
+    raster = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width * height - 1)),
+            lambda p: F.repeat(
+                _byte_hex(F.pmod(seed_col * 31 + p * 17, F.lit(256))), 3
+            ),
+        ),
+    )
+    return F.unhex(F.concat(F.lit(header_hex), raster))
+
+
+def synth_wav_col(seed_col, n_samples: int = 32) -> "F.Column":
+    """Binary mono PCM16 RIFF/WAVE payload column: sample i carries value
+    v_w = ((seed*5 + w*9) % 100) * 40 where w = i // (n_samples/16) — every
+    16th-window is constant, and v_w < 4096 keeps v², v/32768 and the
+    window RMS exactly representable in float32, so the decoded RMS feature
+    satisfies round(feature[w] * 32768) == v_w exactly (the SQL-oracle
+    closed form)."""
+    if n_samples % 16:
+        raise ValueError("n_samples must be a multiple of 16")
+    per_win = n_samples // 16
+    data_bytes = n_samples * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    header = (
+        b"RIFF" + (4 + len(fmt) + 8 + data_bytes).to_bytes(4, "little")
+        + b"WAVE" + fmt + b"data" + data_bytes.to_bytes(4, "little")
+    )
+    v = lambda i: F.pmod(  # noqa: E731 — local closure over seed_col
+        seed_col * 5 + F.floor(i / per_win).cast("long") * 9, F.lit(100)
+    ) * 40
+    samples = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_samples - 1)),
+            lambda i: F.concat(
+                _byte_hex(F.pmod(v(i), F.lit(256))),
+                _byte_hex(F.floor(v(i) / 256).cast("long")),
+            ),
+        ),
+    )
+    return F.unhex(F.concat(F.lit(header.hex()), samples))

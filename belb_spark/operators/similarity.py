@@ -277,6 +277,96 @@ def ivf_centroids_kmeans(
     return [(i, [float(x) for x in C[i]]) for i in range(n_cells)]
 
 
+def ivf_centroids_kmeans_distributed(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 5,
+    sample: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The distributed groupBy-mean Lloyd's variant the driver-side
+    :func:`ivf_centroids_kmeans` docstring promises (VERDICT r4 #5):
+    spherical k-means where every round is ONE Spark aggregation over the
+    full corpus — assignment is a pure-JVM literal-centroid argmax
+    (same expression family as :func:`ivf_assign`, unrounded cosines,
+    ties to the lower cell id exactly like numpy argmax), the new
+    centroids are a ``posexplode`` + ``groupBy(cell, dim).avg`` whose
+    result is n_cells × dim rows — bounded driver traffic regardless of
+    corpus size, which is what a 10^12-row corpus needs.
+
+    Determinism matches the driver path formula for formula: rows are
+    L2-normalized with the same ``x / max(norm, 1e-12)`` guard, init is
+    the first ``n_cells`` rows in (xxhash64(id, seed), id) order, empty
+    or degenerate cells keep their previous centroid. Pass ``sample`` to
+    restrict to the same deterministic sample the driver path uses —
+    the equivalence test runs both on one sample and compares centroids
+    (bit-near: the only divergence is float summation order, numpy
+    pairwise vs JVM sequential fold).
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if sample is not None:
+        base = (
+            base.orderBy(
+                F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.col("cid")
+            ).limit(sample)
+        )
+    nv = F.greatest(
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                           lambda a, b: a + b)),
+        F.lit(1e-12),
+    )
+    vn = base.select(
+        "cid", F.transform("v", lambda x: x / nv).alias("v")
+    ).persist()
+    try:
+        init = (
+            vn.orderBy(
+                F.xxhash64(F.col("cid").cast("string"), F.lit(seed)), F.col("cid")
+            )
+            .limit(n_cells)
+            .collect()
+        )
+        if not init:
+            return []
+        C = [list(r["v"]) for r in init]
+        for _ in range(n_iter):
+            # argmax assignment: struct (cos, -cid) + array_max == highest
+            # cosine, ties to the lower cell id (numpy argmax semantics)
+            cells = []
+            for cid, w in enumerate(C):
+                wcol = F.array(*[F.lit(float(x)) for x in w])
+                cells.append(
+                    F.named_struct(
+                        F.lit("c"), _dot(F.col("v"), wcol),
+                        F.lit("n"), F.lit(-cid),
+                    )
+                )
+            best = F.array_max(F.array(*cells))
+            sums = (
+                vn.select((-best["n"]).cast("int").alias("cell"),
+                          F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            means: dict[int, dict[int, float]] = {}
+            for r in sums:
+                means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            for c, byp in means.items():
+                m = [byp[p] for p in sorted(byp)]
+                nm = sum(x * x for x in m) ** 0.5
+                if nm > 1e-12:
+                    C[c] = [x / nm for x in m]
+        return [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    finally:
+        vn.unpersist()
+
+
 def _cell_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """array<struct<c: cosine-to-centroid (6dp), n: -centroid_id>> — the
     struct ordering makes array_max/sort pick highest cosine with smaller

@@ -154,3 +154,61 @@ def benchmark_contamination(
             ).alias("overlap_ratio"),
         )
     )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str, width: int = 3
+) -> DataFrame:
+    """Repetition-based quality filter: fraction of a doc's token
+    ``width``-grams that are duplicates of an earlier gram — the standard
+    boilerplate/spam signal (Gopher-style repetition rules reduced to one
+    exact statistic). Output (doc_id, n_grams, n_distinct, dup_ratio);
+    docs with fewer than ``width`` tokens emit no row (no gram exists).
+
+    All-integer until one final division, so the DuckDB twin is
+    bit-identical. Pure codegen: the gram list is a higher-order transform
+    over ``sequence`` (no explode, no Python); ``element_at`` indices are
+    bounded by the sequence endpoints AND the pushed ``size >= width``
+    filter, so the expression is ANSI-safe."""
+    t = tokens_col(text_col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (width - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(width)]
+        ),
+    )
+    total = n - (width - 1)
+    distinct = F.size(F.array_distinct(grams))
+    return df.filter(n >= width).select(
+        F.col(id_col).alias("doc_id"),
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        F.round((total - distinct) / total, 4).alias("dup_ratio"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub for a pretraining corpus: count and redact email addresses
+    and NANP-style phone numbers with fixed placeholders. Output
+    (doc_id, n_emails, n_phones, redacted). Both regexes are
+    dialect-portable (plain character classes — identical semantics under
+    Java regex and RE2, so the DuckDB twin matches byte for byte); the
+    whole stage is JVM codegen, zero Python."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+        ).alias("redacted"),
+    )
