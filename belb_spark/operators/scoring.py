@@ -44,6 +44,14 @@ class ScoringConfig:
     # absolute low-core throughput while LOWERING the N→4N scaling ratio.
     # Kept as an option for throughput-first deployments.
     udf_waves: int = 3
+    # Join strategy for the payload joins and the final score join-back.
+    # False (default) = let Catalyst pick (sort-merge at scale). True =
+    # hint shuffle_hash: same shuffles, no sort of the 13M-row pair table
+    # — the scores/reps side builds a per-partition hash map instead.
+    # Safe wherever the per-partition build side fits in executor memory
+    # (scores ≈ distinct payload pairs × 40 B; at 10^12-file scale size
+    # shuffle partitions so build ≤ a few hundred MB per task).
+    hash_joins: bool = False
 
 
 def score_pairs(
@@ -101,6 +109,8 @@ def score_pairs(
     # distinct ships ~the distinct count. Two slim scans of the pair table
     # are cheaper than one fat pinned exchange.)
     reps = feats.dropDuplicates(["h"]).select("h", "token_set", "norm_text")
+    if cfg.hash_joins:
+        reps = reps.hint("shuffle_hash")
     payloads = (
         keyed.select("h_a", "h_b")
         .distinct()
@@ -142,6 +152,8 @@ def score_pairs(
     )
     # inner join implements the prefilter on the pair table (sub-threshold
     # payloads have no score row)
+    if cfg.hash_joins:
+        payload_scores = payload_scores.hint("shuffle_hash")
     return keyed.join(payload_scores, ["h_a", "h_b"]).select(
         "uid_a", "uid_b", "score"
     )

@@ -16,8 +16,21 @@ norm = norm.withColumn("norm_text", F.array_join("norm_tokens", " ")).withColumn
     "token_set", F.array_sort(F.array_distinct("norm_tokens"))
 )
 from belb_spark.operators.scoring import ScoringConfig, score_pairs
-cfg = ScoringConfig(udf_waves=3) if variant.endswith("_waves") else ScoringConfig()
-if variant.startswith("carry_h"):
+cfg = ScoringConfig(hash_joins=True) if variant.endswith("_hash") else ScoringConfig()
+if variant.endswith("_bucket"):
+    # bucketed-table checkpoint: the pair scan reports HashPartitioning
+    # (h_a, h_b) so BOTH the payload distinct and the final score join-back
+    # consume it with zero exchange of the pair table (the Iceberg
+    # bucket-partition story at prod scale). The catalog entry is
+    # session-local; the files persist — re-register by DDL + LOCATION.
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS lab_pairs_hb (uid_a BIGINT, uid_b BIGINT, "
+        "h_a BINARY, h_b BINARY) USING parquet "
+        "CLUSTERED BY (h_a, h_b) INTO 48 BUCKETS "
+        f"LOCATION '{ckpt}/pairs_h_bucketed'"
+    )
+    pairs = spark.table("lab_pairs_hb")
+elif variant.startswith("carry_h"):
     pairs = spark.read.parquet(str(d / "pairs_h"))
 else:
     pairs = (

@@ -52,8 +52,21 @@ norm = norm.withColumn("norm_text", F.array_join("norm_tokens", " ")).withColumn
     "token_set", F.array_sort(F.array_distinct("norm_tokens"))
 )
 from belb_spark.operators.scoring import ScoringConfig, score_pairs
-cfg = ScoringConfig(udf_waves=3) if variant.endswith("_waves") else ScoringConfig()
-if variant.startswith("carry_h"):
+cfg = ScoringConfig(hash_joins=True) if variant.endswith("_hash") else ScoringConfig()
+if variant.endswith("_bucket"):
+    # bucketed-table checkpoint: the pair scan reports HashPartitioning
+    # (h_a, h_b) so BOTH the payload distinct and the final score join-back
+    # consume it with zero exchange of the pair table (the Iceberg
+    # bucket-partition story at prod scale). The catalog entry is
+    # session-local; the files persist — re-register by DDL + LOCATION.
+    spark.sql(
+        "CREATE TABLE IF NOT EXISTS lab_pairs_hb (uid_a BIGINT, uid_b BIGINT, "
+        "h_a BINARY, h_b BINARY) USING parquet "
+        "CLUSTERED BY (h_a, h_b) INTO 48 BUCKETS "
+        f"LOCATION '{ckpt}/pairs_h_bucketed'"
+    )
+    pairs = spark.table("lab_pairs_hb")
+elif variant.startswith("carry_h"):
     pairs = spark.read.parquet(str(d / "pairs_h"))
 else:
     pairs = (
@@ -130,6 +143,37 @@ print("PREP DONE", res.metrics["pairs_scored"])
     print([l for l in r.stdout.splitlines() if "PREP DONE" in l][0])
 
 
+def prep_bucket() -> None:
+    """Write the pre-keyed pair table ONCE as a 48-bucket parquet table
+    (bucketBy h_a, h_b) under LAB_CKPT for the carry_h_bucket variant."""
+    code = f"""
+import shutil
+from belb_spark.session import get_spark
+spark = get_spark("lab_bucket_prep", master="local[16]", shuffle_partitions=48,
+                  extra_conf={{"spark.sql.warehouse.dir": "/tmp/belb_lab_wh"}})
+spark.sparkContext.setLogLevel("ERROR")
+shutil.rmtree({LAB_CKPT!r} + "/pairs_h_bucketed", ignore_errors=True)
+spark.sql("DROP TABLE IF EXISTS lab_pairs_hb_w")
+(spark.read.parquet({LAB_CKPT!r} + "/pairs_h")
+ .write.bucketBy(48, "h_a", "h_b")
+ .option("path", {LAB_CKPT!r} + "/pairs_h_bucketed")
+ .saveAsTable("lab_pairs_hb_w"))
+print("BUCKET PREP DONE")
+"""
+    p = REPO / "scripts" / "_lab_prep.py"
+    p.write_text(code)
+    r = subprocess.run(
+        ["/opt/spark/bin/spark-submit", "--master", "local[16]",
+         "--driver-memory", "16g",
+         "--py-files", str(REPO / "dist" / "belb_spark.zip"), str(p)],
+        capture_output=True, text=True, cwd="/tmp",
+    )
+    if "BUCKET PREP DONE" not in r.stdout:
+        print(r.stdout[-2000:], r.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError("bucket prep failed")
+    print("BUCKET PREP DONE")
+
+
 def run(master: str, variant: str, heap: str, batch: str) -> dict:
     runner = REPO / "scripts" / "_lab_runner.py"
     runner.write_text(RUNNER)
@@ -173,15 +217,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("prep")
+    sub.add_parser("prep_bucket")
     rp = sub.add_parser("run")
     rp.add_argument("--master", required=True)
-    rp.add_argument("--variant", default="base", choices=["base", "carry_h", "base_waves", "carry_h_waves"])
+    rp.add_argument("--variant", default="base",
+                    choices=["base", "carry_h", "base_hash", "carry_h_hash",
+                             "carry_h_bucket"])
     rp.add_argument("--heap", default="16g")
     rp.add_argument("--batch", default="0")
     sub.add_parser("report")
     args = ap.parse_args()
     if args.cmd == "prep":
         prep()
+    elif args.cmd == "prep_bucket":
+        prep_bucket()
     elif args.cmd == "run":
         run(args.master, args.variant, args.heap, args.batch)
     else:
