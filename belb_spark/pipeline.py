@@ -62,6 +62,17 @@ class ERConfig:
     # 'off': EphemeralStore — no parquet at all (no resume); the wall delta
     #   vs 'sync' measures the checkpoint I/O share for the scaling report.
     checkpoint_mode: str = "sync"
+    # >0: write the 03_candidates checkpoint as a bucketed table
+    # (CLUSTERED BY (h_a, h_b) INTO n BUCKETS) instead of plain parquet.
+    # One extra shuffle at the stage-03 write buys the scoring stage a pair
+    # scan that already reports HashPartitioning(h_a, h_b): BOTH the payload
+    # distinct and the final score join-back consume it with zero exchange
+    # of the pair table — the two largest shuffles of stage 04 (measured in
+    # score_stage_lab: carry_h_bucket beat carry_h ~8% at 16c and scaled
+    # better N→4N). This is the sandbox twin of Iceberg bucket-partitioning
+    # the pair table at prod scale. Sync checkpoint mode only. Pick n as the
+    # stage-04 target parallelism (buckets are static once written).
+    bucket_candidates: int = 0
 
 
 # bump when a stage's checkpoint schema changes (columns added/removed/
@@ -151,10 +162,14 @@ def _run_pipeline_body(
     spark, repos, labeled_pairs, checkpoint_dir, cfg, sig, metrics, store,
     checks, synonym_dict,
 ) -> ERResult:
-    def run_stage(name, build, partition_by=None):
+    def run_stage(name, build, partition_by=None, bucket_by=None):
         if cfg.checkpoint_mode == "async":
-            return store.run_async(name, sig, build, partition_by=partition_by)
-        return store.run(name, sig, build, partition_by=partition_by)
+            return store.run_async(
+                name, sig, build, partition_by=partition_by, bucket_by=bucket_by
+            )
+        return store.run(
+            name, sig, build, partition_by=partition_by, bucket_by=bucket_by
+        )
 
     # explicit partitioning at ingest, before any expression-heavy stage.
     # 3 waves per core, matching shuffle partitions: a straggler split costs
@@ -251,7 +266,14 @@ def _run_pipeline_body(
     if obs is not None:
         # partitioned by src so per-family row counts come from the manifest
         # (parquet footers) when the write is synchronous
-        cand_res = run_stage("03_candidates", build_candidates, partition_by=["src"])
+        cand_res = run_stage(
+            "03_candidates",
+            build_candidates,
+            partition_by=["src"],
+            bucket_by=(cfg.bucket_candidates, ["h_a", "h_b"])
+            if cfg.bucket_candidates
+            else None,
+        )
         if cand_res.resumed:
             # the observation never fired (no action ran); the stats were
             # annotated into the manifest by the run that built the stage
@@ -276,7 +298,12 @@ def _run_pipeline_body(
         with ThreadPoolExecutor(max_workers=1) as pool:
             stats_future = pool.submit(lambda: stats_df.collect()[0])
             cand_res = run_stage(
-                "03_candidates", build_candidates, partition_by=["src"]
+                "03_candidates",
+                build_candidates,
+                partition_by=["src"],
+                bucket_by=(cfg.bucket_candidates, ["h_a", "h_b"])
+                if cfg.bucket_candidates
+                else None,
             )
         stats = stats_future.result()
     metrics["pairs_theoretical"] = int(stats["theoretical"] or 0)

@@ -43,6 +43,7 @@ strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
 bcast = sys.argv[8] if len(sys.argv) > 8 and sys.argv[8] else None
+bucket = int(sys.argv[9]) if len(sys.argv) > 9 and sys.argv[9] else 0
 extra = {"spark.sql.autoBroadcastJoinThreshold": bcast} if bcast else {}
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
@@ -54,7 +55,8 @@ repos = spark.read.parquet(str(d / "repos.parquet"))
 syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
 ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_", dir=ckpt_base)
-cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part)
+cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part,
+               bucket_candidates=bucket)
 t0 = time.time()
 res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
 wall = time.time() - t0
@@ -63,6 +65,7 @@ m = res.metrics
 pairs = m["pairs_scored"] + m["exact_dup_edges"]
 print("RESULT " + json.dumps({
     "master": master, "cores": cores, "mode": mode, "strategy": strategy,
+    "bucket": bucket,
     "ckpt_base": ckpt_base or "/tmp",
     "wall_sec": round(wall, 2),
     "rows": m["rows_in"], "pairs": pairs,
@@ -92,6 +95,7 @@ def run_level(
     ckpt_base: str = "",
     bcast: str = "",
     heap: str = "16g",
+    bucket: int = 0,
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -107,6 +111,7 @@ def run_level(
             "--driver-memory", heap,
             "--py-files", str(REPO / "dist" / "belb_spark.zip"),
             str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
+            str(bucket),
         ]
         # sample loadavg every 10 s during the run: a co-tenant burst that
         # starts and ends MID-run is invisible to the before/after samples
@@ -475,6 +480,15 @@ def main() -> int:
     )
     ap.add_argument("--strategy", default="capped", choices=["capped", "salted"])
     ap.add_argument(
+        "--bucket",
+        type=int,
+        default=0,
+        help="ERConfig.bucket_candidates: write the candidates checkpoint "
+        "as an N-bucket CLUSTERED BY (h_a, h_b) table so scoring's payload "
+        "distinct and join-back start co-partitioned (0 = plain parquet). "
+        "Fixed across levels — a table's bucket count is static.",
+    )
+    ap.add_argument(
         "--assemble",
         action="store_true",
         help="build BENCH/BASELINE.md + scaling_<scale>.json from the "
@@ -571,12 +585,14 @@ def main() -> int:
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
+                        bucket=args.bucket,
                     )
                 except RuntimeError:
                     # transient co-tenant OOM/kill: one retry keeps the pair
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
+                        bucket=args.bucket,
                     )
                 r["pair"] = k
                 f = runs_file(args.scale)
@@ -603,13 +619,17 @@ def main() -> int:
             })
         # merge with previously recorded evidence pairs of the same config
         # (long sessions run several batches; the record is cumulative)
-        out = REPO / "BENCH" / f"evidence_{args.scale}.json"
+        # bucketed evidence gets its own file: the r4 non-bucketed record
+        # stays intact for before/after comparison
+        suffix = f"_b{args.bucket}" if args.bucket else ""
+        out = REPO / "BENCH" / f"evidence_{args.scale}{suffix}.json"
         if out.exists():
             prior = json.loads(out.read_text())
             if (
                 prior.get("mode") == args.mode
                 and prior.get("strategy") == args.strategy
                 and prior.get("heap_per_core_gb") == args.heap_per_core
+                and prior.get("bucket", 0) == args.bucket
             ):
                 base = len(prior["pairs"])
                 for t in table:
@@ -628,7 +648,7 @@ def main() -> int:
         effs = sorted(t["eff_pairs_scored"] for t in table)
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
-            "heap_per_core_gb": args.heap_per_core,
+            "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
             "pairs": table,
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
@@ -641,7 +661,7 @@ def main() -> int:
     if args.one:
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
-            ckpt_base=args.ckpt_base, bcast=args.bcast,
+            ckpt_base=args.ckpt_base, bcast=args.bcast, bucket=args.bucket,
         )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)

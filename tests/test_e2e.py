@@ -139,3 +139,68 @@ def test_checkpoint_modes_agree(spark, tiny_spark):
             ),
         }
     assert outs["sync"] == outs["async"] == outs["off"]
+
+
+def test_bucketed_candidates_agree_and_reregister(spark, tiny_spark):
+    """bucket_candidates=N writes 03_candidates as a CLUSTERED BY (h_a, h_b)
+    table (the Iceberg bucket-partition twin): identical clustering/metrics
+    to the plain-parquet run, and a resume in a session WITHOUT the catalog
+    entry re-registers the table from the manifest's stored DDL."""
+    d = tempfile.mkdtemp(prefix="belb_bucket_ckpt_")
+    try:
+        cfg = ERConfig(bucket_candidates=8)
+        res = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            tiny_spark["labeled_pairs"],
+            checkpoint_dir=d,
+            cfg=cfg,
+        )
+        base = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            tiny_spark["labeled_pairs"],
+        )
+        assert res.metrics["eval"]["all"]["f1"] == base.metrics["eval"]["all"]["f1"]
+        assert res.metrics["pairs_scored"] == base.metrics["pairs_scored"]
+        got = sorted((r["uid"], r["cluster"]) for r in res.assignment.collect())
+        want = sorted((r["uid"], r["cluster"]) for r in base.assignment.collect())
+        assert got == want
+
+        # the scan of the bucketed stage reports its bucket spec (this is
+        # the property plain parquet loses): scoring's payload distinct and
+        # join-back consume it with no exchange of the pair table
+        from belb_spark.checkpoint import CheckpointStore
+
+        store = CheckpointStore(spark, d)
+        tbl = store._table_name("03_candidates")
+        assert spark.catalog.tableExists(tbl)
+        plan = (
+            spark.table(tbl)
+            .filter(F.col("src") == "block")
+            .select("h_a", "h_b")
+            .distinct()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan  # distinct consumes the scan
+
+        # fresh-session resume: no catalog entry, only files + manifest
+        spark.sql(f"DROP TABLE {tbl}")
+        res2 = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            labeled_pairs=None,
+            checkpoint_dir=d,
+            cfg=cfg,
+        )
+        assert all(s["resumed"] for s in res2.stages), res2.stages
+        got2 = sorted((r["uid"], r["cluster"]) for r in res2.assignment.collect())
+        assert got2 == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
