@@ -84,6 +84,16 @@ def _loadavg() -> str:
     return open("/proc/loadavg").read().split()[0]
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat. Guest loadavg cannot see a
+    hypervisor neighbor — CPU steal is the only in-guest signal that the
+    physical cores were taken mid-run (observed r5: a 4N run read 2x slow
+    at loadavg 10.9 with steal ~5%), so the evidence record carries it."""
+    p = open("/proc/stat").readline().split()
+    vals = list(map(int, p[1:9]))  # user nice sys idle iowait irq softirq steal
+    return vals[7], sum(vals)
+
+
 def run_level(
     master: str,
     data_dir: str,
@@ -102,6 +112,7 @@ def run_level(
     best = None
     for _ in range(repeats):
         load_before = _loadavg()
+        steal0, total0 = _cpu_jiffies()
         loads_during: list[float] = []
         cmd = [
             "/opt/spark/bin/spark-submit",
@@ -142,6 +153,10 @@ def run_level(
         r["load_before"] = load_before
         r["load_after"] = _loadavg()
         r["load_max_during"] = max(loads_during) if loads_during else None
+        steal1, total1 = _cpu_jiffies()
+        r["steal_pct"] = round(
+            100 * (steal1 - steal0) / max(1, total1 - total0), 2
+        )
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
     return best
@@ -616,6 +631,7 @@ def main() -> int:
                 "f1": [n["test_f1"], n4["test_f1"]],
                 "loads": [n["load_before"], n["load_after"],
                           n4["load_before"], n4["load_after"]],
+                "steal_pct": [n.get("steal_pct"), n4.get("steal_pct")],
             })
         # merge with previously recorded evidence pairs of the same config
         # (long sessions run several batches; the record is cumulative)
