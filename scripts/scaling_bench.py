@@ -662,6 +662,15 @@ def main() -> int:
             return round((xs[m - 1] + xs[m]) / 2, 4)
 
         effs = sorted(t["eff_pairs_scored"] for t in table)
+        # steal-clean slice: pairs where BOTH runs recorded hypervisor
+        # steal < 1% — an instrument-based (not outcome-based) filter, so
+        # it cannot cherry-pick good ratios, only steal-free windows; the
+        # full distribution stays published above it
+        clean = [
+            t["eff_pairs_scored"] for t in table
+            if None not in (t.get("steal_pct") or [None])
+            and max(t["steal_pct"]) < 1.0
+        ]
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
@@ -669,6 +678,8 @@ def main() -> int:
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
             "median_eff_e2e": _median([t["eff_e2e"] for t in table]),
+            "n_pairs_steal_clean": len(clean),
+            "median_eff_steal_clean": _median(clean) if clean else None,
         }
         out.write_text(json.dumps(summary, indent=2))
         print(json.dumps(summary, indent=2))
