@@ -989,6 +989,96 @@ def q_text_pii_redact(spark, sf_dir):
     )
 
 
+def q_kb_identifier_mapping(spark, sf_dir):
+    """J3/J6 identifier_mapping (kb.apply_identifier_mapping, reference
+    belb/kbs/kb.py:479-537 / belb/preprocessing/data.py pmcid→pmid): map
+    lineitem part references through a dense internal-id dictionary built
+    over the even part keys; odd keys are observable as NULL internal ids
+    (belb raises at query time — here unmapped rows pass through). One
+    broadcast join, corpus side untouched."""
+    from pyspark.sql import Window
+
+    from belb_spark.operators.kb import apply_identifier_mapping
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mapping = (
+        part.filter(F.col("p_partkey") % 2 == 0)
+        .select(
+            F.col("p_partkey").alias("original_identifier"),
+            F.row_number()
+            .over(Window.orderBy("p_partkey"))
+            .cast("long")
+            .alias("internal_identifier"),
+        )
+    )
+    ids = lineitem.select(
+        "l_orderkey", "l_linenumber", F.col("l_partkey").alias("identifier")
+    )
+    out = apply_identifier_mapping(ids, mapping, id_col="identifier")
+    return out.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.col("identifier").cast("long"),
+        "internal_identifier",
+    )
+
+
+def q_norm_patch_map(spark, sf_dir):
+    """J8 manual patch map (normalize.canonicalize strategy='map' — the
+    pure-JVM create_map substitution, reference belb's hand-maintained
+    identifier patch dicts, belb/kbs/kb.py:251-263): customer rows carry a
+    (nation-name, mktsegment) token pair; the 50-entry patch dict rewrites
+    every nation alias to its canonical ``nation_<key>`` symbol while
+    unpatched tokens pass through untouched."""
+    from belb_spark.operators.normalize import canonicalize
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    syn = nation.select(
+        F.col("n_nationkey").alias("identifier"),
+        F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("name"),
+        F.lit(0).alias("description"),
+    ).unionByName(
+        nation.select(
+            F.col("n_nationkey").alias("identifier"),
+            F.lower("n_name").alias("name"),
+            F.lit(1).alias("description"),
+        )
+    )
+    df = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "c_custkey",
+        F.array(F.lower("n_name"), F.lower("c_mktsegment")).alias("tokens"),
+    )
+    out = canonicalize(df, syn, strategy="map")
+    return out.select(
+        F.col("c_custkey").cast("long"),
+        F.array_join("norm_tokens", " ").alias("norm_text"),
+    )
+
+
+def q_pair_stats_qaqc(spark, sf_dir):
+    """A10 QAQC counters (pairs.pair_stats — the no-silent-caps ledger,
+    reference belb QAQC counts in belb/kbs/kb.py:680-702): per-block
+    emitted vs theoretical candidate-pair counts for language blocks under
+    the capped strategy (full_join_max=16, anchor_rank=4), so a reviewer
+    can price exactly what the cap dropped."""
+    from belb_spark.operators.pairs import PairsConfig, pair_stats
+
+    blocks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("uid"), F.col("lang").alias("block_key")
+    )
+    out = pair_stats(blocks, cfg=PairsConfig(full_join_max=16, anchor_rank=4))
+    return out.select(
+        "block_key",
+        F.col("block_size").cast("long"),
+        "pairs_theoretical",
+        "pairs_emitted",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's 50-row correctness window (VERDICT r4 #2):
     # entries with no driver-green row yet come FIRST (r4's four late
@@ -1012,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_wav_features": q_mm_wav_features,
         "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
+        "kb_identifier_mapping": q_kb_identifier_mapping,
+        "norm_patch_map": q_norm_patch_map,
+        "pair_stats_qaqc": q_pair_stats_qaqc,
         # --- driver-green in r4, kept inside the window
         "dedup_exact": q_exact_dedup,
         "dedup_synset_clusters": q_synset_clusters,
@@ -1971,6 +2064,36 @@ SELECT doc_id::BIGINT AS doc_id,
                '<EMAIL>', 'g'),
            '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
 FROM d
+"""
+
+    sql["kb_identifier_mapping"] = """
+WITH m AS (
+  SELECT p_partkey AS orig,
+         row_number() OVER (ORDER BY p_partkey)::BIGINT AS internal
+  FROM part WHERE p_partkey % 2 = 0
+)
+SELECT l.l_orderkey::BIGINT AS l_orderkey,
+       l.l_linenumber::BIGINT AS l_linenumber,
+       l.l_partkey::BIGINT AS identifier,
+       m.internal AS internal_identifier
+FROM lineitem l LEFT JOIN m ON l.l_partkey = m.orig
+"""
+
+    sql["norm_patch_map"] = """
+SELECT c.c_custkey::BIGINT AS c_custkey,
+       'nation_' || n.n_nationkey || ' ' || lower(c.c_mktsegment) AS norm_text
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+    sql["pair_stats_qaqc"] = """
+SELECT lang AS block_key,
+       count(*)::BIGINT AS block_size,
+       (count(*) * (count(*) - 1) / 2)::BIGINT AS pairs_theoretical,
+       CASE WHEN count(*) <= 16
+            THEN count(*) * (count(*) - 1) / 2
+            ELSE 4 * (count(*) - 1) - 6
+       END::BIGINT AS pairs_emitted
+FROM documents GROUP BY lang
 """
 
     return sql

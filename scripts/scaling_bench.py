@@ -106,6 +106,7 @@ def run_level(
     bcast: str = "",
     heap: str = "16g",
     bucket: int = 0,
+    pin_cpus: int = 0,
 ) -> dict:
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
@@ -124,6 +125,15 @@ def run_level(
             str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
             str(bucket),
         ]
+        if pin_cpus:
+            # Confine the whole process tree (driver JVM + forked python
+            # workers, which inherit affinity) to exactly pin_cpus CPUs.
+            # Unpinned, a local[4] run leaks GC / python-worker / daemon
+            # threads onto all 32 host cores — headroom a real 4-core
+            # executor never has — inflating N throughput and deflating
+            # the N→4N ratio; a real cluster gives each level exactly its
+            # core budget.
+            cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
         # sample loadavg every 10 s during the run: a co-tenant burst that
         # starts and ends MID-run is invisible to the before/after samples
         # but poisons the walls (the r3 judge's best-of critique cuts both
@@ -150,6 +160,8 @@ def run_level(
             raise RuntimeError(f"no RESULT from {master}")
         r = json.loads(line[-1][len("RESULT "):])
         r["heap"] = heap
+        if pin_cpus:
+            r["pinned_cpus"] = pin_cpus
         r["load_before"] = load_before
         r["load_after"] = _loadavg()
         r["load_max_during"] = max(loads_during) if loads_during else None
@@ -530,6 +542,17 @@ def main() -> int:
         "16g at both levels.",
     )
     ap.add_argument(
+        "--pin-extra",
+        type=int,
+        default=-1,
+        metavar="E",
+        help="pin each level's process tree with taskset to (cores + E) "
+        "CPUs — the faithful fixed-spec-executor stand-in (unpinned, a "
+        "local[4] run's GC/python/daemon threads ride all 32 host cores). "
+        "E is the shared driver/OS allowance, identical at both levels so "
+        "the compute-core ratio stays exactly 4x. -1 = no pinning (legacy).",
+    )
+    ap.add_argument(
         "--decompose",
         action="store_true",
         help="also run checkpoint_mode='off' at both levels: the wall delta "
@@ -596,18 +619,19 @@ def main() -> int:
                     if args.heap_per_core
                     else "16g"
                 )
+                pin = cores + args.pin_extra if args.pin_extra >= 0 else 0
                 try:
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
-                        bucket=args.bucket,
+                        bucket=args.bucket, pin_cpus=pin,
                     )
                 except RuntimeError:
                     # transient co-tenant OOM/kill: one retry keeps the pair
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
-                        bucket=args.bucket,
+                        bucket=args.bucket, pin_cpus=pin,
                     )
                 r["pair"] = k
                 f = runs_file(args.scale)
@@ -638,6 +662,8 @@ def main() -> int:
         # bucketed evidence gets its own file: the r4 non-bucketed record
         # stays intact for before/after comparison
         suffix = f"_b{args.bucket}" if args.bucket else ""
+        if args.pin_extra >= 0:
+            suffix += f"_pin{args.pin_extra}"
         out = REPO / "BENCH" / f"evidence_{args.scale}{suffix}.json"
         if out.exists():
             prior = json.loads(out.read_text())
@@ -646,6 +672,7 @@ def main() -> int:
                 and prior.get("strategy") == args.strategy
                 and prior.get("heap_per_core_gb") == args.heap_per_core
                 and prior.get("bucket", 0) == args.bucket
+                and prior.get("pin_extra", -1) == args.pin_extra
             ):
                 base = len(prior["pairs"])
                 for t in table:
@@ -674,6 +701,7 @@ def main() -> int:
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
+            "pin_extra": args.pin_extra,
             "pairs": table,
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
@@ -686,9 +714,11 @@ def main() -> int:
         return 0
 
     if args.one:
+        cores_one = int(args.one.split("[")[1].rstrip("]")) if "[" in args.one else 0
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
             ckpt_base=args.ckpt_base, bcast=args.bcast, bucket=args.bucket,
+            pin_cpus=cores_one + args.pin_extra if args.pin_extra >= 0 and cores_one else 0,
         )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)
