@@ -553,6 +553,21 @@ def main() -> int:
         "the compute-core ratio stays exactly 4x. -1 = no pinning (legacy).",
     )
     ap.add_argument(
+        "--pin-scale",
+        type=float,
+        default=0.0,
+        metavar="S",
+        help="pin each level's process tree to round(cores * S) CPUs — the "
+        "PROPORTIONAL pin: the CPU allotment ratio between 4N and N stays "
+        "exactly 4x and thread oversubscription (tasks + python workers vs "
+        "CPUs) is identical at both levels. --pin-extra's additive allowance "
+        "breaks that ratio (4+2=6 vs 16+2=18 is 3x, capping the measurable "
+        "pairs-scored efficiency at 18/(6*4)=0.75 in the CPU-bound limit — "
+        "below the contract target on perfect hardware). S=1.5 gives each "
+        "level 1.33x thread oversubscription (2 threads/core demand on "
+        "1.5 CPUs/core). Overrides --pin-extra when set.",
+    )
+    ap.add_argument(
         "--decompose",
         action="store_true",
         help="also run checkpoint_mode='off' at both levels: the wall delta "
@@ -619,7 +634,10 @@ def main() -> int:
                     if args.heap_per_core
                     else "16g"
                 )
-                pin = cores + args.pin_extra if args.pin_extra >= 0 else 0
+                if args.pin_scale:
+                    pin = round(cores * args.pin_scale)
+                else:
+                    pin = cores + args.pin_extra if args.pin_extra >= 0 else 0
                 try:
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
@@ -662,7 +680,9 @@ def main() -> int:
         # bucketed evidence gets its own file: the r4 non-bucketed record
         # stays intact for before/after comparison
         suffix = f"_b{args.bucket}" if args.bucket else ""
-        if args.pin_extra >= 0:
+        if args.pin_scale:
+            suffix += f"_pinx{args.pin_scale:g}"
+        elif args.pin_extra >= 0:
             suffix += f"_pin{args.pin_extra}"
         out = REPO / "BENCH" / f"evidence_{args.scale}{suffix}.json"
         if out.exists():
@@ -673,6 +693,7 @@ def main() -> int:
                 and prior.get("heap_per_core_gb") == args.heap_per_core
                 and prior.get("bucket", 0) == args.bucket
                 and prior.get("pin_extra", -1) == args.pin_extra
+                and prior.get("pin_scale", 0.0) == args.pin_scale
             ):
                 base = len(prior["pairs"])
                 for t in table:
@@ -701,7 +722,7 @@ def main() -> int:
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
-            "pin_extra": args.pin_extra,
+            "pin_extra": args.pin_extra, "pin_scale": args.pin_scale,
             "pairs": table,
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
@@ -718,7 +739,13 @@ def main() -> int:
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
             ckpt_base=args.ckpt_base, bcast=args.bcast, bucket=args.bucket,
-            pin_cpus=cores_one + args.pin_extra if args.pin_extra >= 0 and cores_one else 0,
+            pin_cpus=(
+                round(cores_one * args.pin_scale)
+                if args.pin_scale and cores_one
+                else cores_one + args.pin_extra
+                if args.pin_extra >= 0 and cores_one
+                else 0
+            ),
         )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)
