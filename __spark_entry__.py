@@ -868,6 +868,22 @@ def q_split_zero_shot(spark, sf_dir):
     )
 
 
+def q_split_assignment(spark, sf_dir):
+    """J9 splits assignment (evaluate.assign_splits, reference
+    belb/corpora/parser.py:19-27 + belb/metadata/*/splits.json): a frozen
+    metadata-sized splits table names the dev/test members; every
+    unlisted document defaults to train via one broadcast left join."""
+    from belb_spark.operators.evaluate import assign_splits
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    splits = docs.filter(F.col("doc_id") % 10 >= 7).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 7, "dev").otherwise("test").alias("split"),
+    )
+    out = assign_splits(docs, splits, "doc_id")
+    return out.select(F.col("doc_id").cast("long"), "split")
+
+
 def q_uid_dense_scalable(spark, sf_dir):
     """W1 scale path (normalize.assign_uids_scalable): dense deterministic
     1-based uid in (source, doc_id) order WITHOUT a single-partition global
@@ -1096,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_foreign_homonyms": q_kb_foreign_homonyms,
         "kb_attach_foreign": q_kb_attach_foreign,
         "split_zero_shot": q_split_zero_shot,
+        "split_assignment": q_split_assignment,
         "uid_dense_scalable": q_uid_dense_scalable,
         "pairs_within_salt": q_pairs_within_salt,
         "mm_ppm_features": q_mm_ppm_features,
@@ -2002,6 +2019,15 @@ WHERE event_id % 100 >= 2
     SELECT 1 FROM events t
     WHERE t.event_id % 100 < 2 AND t.user_id = e.user_id
   )
+"""
+
+    sql["split_assignment"] = """
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(CASE WHEN s.doc_id % 10 = 7 THEN 'dev'
+                     WHEN s.doc_id IS NOT NULL THEN 'test' END,
+                'train') AS split
+FROM documents d LEFT JOIN documents s
+  ON d.doc_id = s.doc_id AND s.doc_id % 10 >= 7
 """
 
     sql["uid_dense_scalable"] = """

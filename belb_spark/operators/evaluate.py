@@ -109,6 +109,21 @@ def metrics_dict(metrics_df: DataFrame) -> dict[str, dict[str, float]]:
     }
 
 
+def assign_splits(
+    df: DataFrame, splits: DataFrame, key: str, default: str = "train"
+) -> DataFrame:
+    """J9 splits assignment (reference belb/corpora/parser.py:19-27 and
+    belb/metadata/*/splits.json): attach frozen split membership to each
+    row by ``key``; rows absent from the splits table get ``default``
+    (belb treats unlisted documents as train). The splits table is
+    metadata-sized next to the corpus, so the join broadcasts — no
+    shuffle of ``df`` at any scale."""
+    s = F.broadcast(splits.select(key, "split"))
+    return df.join(s, key, "left").withColumn(
+        "split", F.coalesce(F.col("split"), F.lit(default))
+    )
+
+
 def zero_shot_slice(train, test, key: str):
     """A14 zero-shot evaluation slice (belb/scripts/get_mentions_subsets.py:
     82-108): test rows whose ``key`` value never appears in the train split

@@ -101,3 +101,21 @@ def test_zero_shot_slice_anti_join(spark):
     )
     out = zero_shot_slice(train, test, "user_id")
     assert sorted(r["event_id"] for r in out.collect()) == [21, 22]
+
+
+def test_assign_splits_default_train(spark):
+    """J9: listed rows take the frozen split; unlisted rows default to
+    train (belb/metadata/*/splits.json semantics)."""
+    from belb_spark.operators.evaluate import assign_splits
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "source": ["a"] * 4})
+    )
+    splits = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2, 4], "split": ["dev", "test"]})
+    )
+    out = assign_splits(docs, splits, "doc_id")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert got == {1: "train", 2: "dev", 3: "train", 4: "test"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # metadata-sized side must broadcast
