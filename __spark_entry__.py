@@ -318,6 +318,32 @@ def q_spans_mark(spark, sf_dir):
     )
 
 
+def q_spans_chain(spark, sf_dir):
+    """T4 transform protocol (pipeline stage composition, reference
+    belb/preprocessing/data.py transform chaining): T1 clean → T3 mark,
+    chained through the shared (docs, spans) contract — stage N+1
+    consumes stage N's rewritten text and remapped offsets unchanged,
+    so offsets survive composition. The oracle composes the same two
+    arithmetic rewrites in one SQL expression."""
+    from belb_spark.operators.spans import clean_intra_word_spans, mark_spans
+
+    docs, spans = _derived_spans(spark, sf_dir)
+    cleaned = clean_intra_word_spans(docs, spans)
+    docs2 = cleaned.select("doc_id", "text").dropDuplicates(["doc_id"])
+    spans2 = cleaned.filter(F.col("span_id").isNotNull()).select(
+        "doc_id", "span_id", "start", "end"
+    )
+    out = mark_spans(docs2, spans2)
+    return out.filter(F.col("span_id").isNotNull()).select(
+        F.col("doc_id").cast("long"),
+        F.col("span_id").cast("long"),
+        F.col("start").cast("long"),
+        F.col("end").cast("long"),
+        "span_text",
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def q_spans_sentences(spark, sf_dir):
     """T2 SplitIntoSentences over a deterministically punctuated text (the
     corpus text itself has no sentence punctuation): exercises the real
@@ -1113,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kb_attach_foreign": q_kb_attach_foreign,
         "split_zero_shot": q_split_zero_shot,
         "split_assignment": q_split_assignment,
+        "spans_chain": q_spans_chain,
         "uid_dense_scalable": q_uid_dense_scalable,
         "pairs_within_salt": q_pairs_within_salt,
         "mm_ppm_features": q_mm_ppm_features,
@@ -1732,6 +1759,42 @@ FROM n
 UNION ALL
 SELECT doc_id::BIGINT, 1::BIGINT,
        (20 + c1 + c2 + c3)::BIGINT, (28 + c1 + c2 + c3)::BIGINT,
+       t1, text_md5
+FROM n
+"""
+
+    # T4 twin: the T1 rewrite and the T3 rewrite composed in one concat —
+    # markers land inside the cleaned text at the T1-shifted offsets, and
+    # the final offsets add the marker widths (5 per '[MS] ', 5 per ' [ME]')
+    sql["spans_chain"] = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE n_chars >= 28),
+c AS (
+  SELECT doc_id, text,
+    CASE WHEN regexp_matches(substr(text, 5, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c1,
+    CASE WHEN regexp_matches(substr(text, 13, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c2,
+    CASE WHEN regexp_matches(substr(text, 20, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c3,
+    CASE WHEN regexp_matches(substr(text, 29, 1), {_ALNUM}) THEN 1 ELSE 0 END AS c4
+  FROM d
+),
+n AS (
+  SELECT doc_id, c1, c2, c3,
+    md5(substr(text, 1, 5) || (CASE WHEN c1 = 1 THEN ' ' ELSE '' END)
+        || '[MS] ' || substr(text, 6, 7) || ' [ME]'
+        || (CASE WHEN c2 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 13, 8) || (CASE WHEN c3 = 1 THEN ' ' ELSE '' END)
+        || '[MS] ' || substr(text, 21, 8) || ' [ME]'
+        || (CASE WHEN c4 = 1 THEN ' ' ELSE '' END)
+        || substr(text, 29)) AS text_md5,
+    substr(text, 6, 7) AS t0, substr(text, 21, 8) AS t1
+  FROM c
+)
+SELECT doc_id::BIGINT AS doc_id, 0::BIGINT AS span_id,
+       (10 + c1)::BIGINT AS start, (17 + c1)::BIGINT AS "end",
+       t0 AS span_text, text_md5
+FROM n
+UNION ALL
+SELECT doc_id::BIGINT, 1::BIGINT,
+       (35 + c1 + c2 + c3)::BIGINT, (43 + c1 + c2 + c3)::BIGINT,
        t1, text_md5
 FROM n
 """
