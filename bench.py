@@ -46,6 +46,15 @@ BENCH_QUERIES = [
 ER_SCALE = os.environ.get("BELB_BENCH_ER_SCALE", "small")
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — hypervisor CPU steal is the
+    only in-guest signal that a co-tenant is eating the cores (guest loadavg
+    cannot see it), so each query carries its steal share."""
+    p = open("/proc/stat").readline().split()
+    vals = list(map(int, p[1:9]))  # user nice sys idle iowait irq softirq steal
+    return vals[7], sum(vals)
+
+
 def run_er(spark, scale: str) -> dict:
     from belb_spark import datagen
     from belb_spark.pipeline import run_pipeline
@@ -99,10 +108,12 @@ def main() -> int:
     loadavg: dict[str, list[float]] = {}  # 1-min loadavg before/after each
     # query, so a reviewer can separate real drift from co-tenant noise
     # without re-running (VERDICT r4 #9)
+    steal: dict[str, float] = {}  # hypervisor steal % over each query window
     t_all = time.time()
     for name in BENCH_QUERIES:
         best = float("inf")
         la0 = os.getloadavg()[0]
+        s0, j0 = _cpu_jiffies()
         for _ in range(repeats):  # best-of-N: damp co-tenant CPU noise
             t0 = time.time()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -110,10 +121,15 @@ def main() -> int:
         spark.catalog.clearCache()  # drop the ops' persisted intermediates
         times[name] = round(best, 3)
         loadavg[name] = [round(la0, 2), round(os.getloadavg()[0], 2)]
+        s1, j1 = _cpu_jiffies()
+        steal[name] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
 
     la_er0 = os.getloadavg()[0]
+    s0, j0 = _cpu_jiffies()
     er = run_er(spark, ER_SCALE)
     er["loadavg"] = [round(la_er0, 2), round(os.getloadavg()[0], 2)]
+    s1, j1 = _cpu_jiffies()
+    er["steal_pct"] = round(100 * (s1 - s0) / max(1, j1 - j0), 2)
     total = round(time.time() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else None
@@ -125,6 +141,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": times,
                 "loadavg": loadavg,
+                "steal_pct": steal,
                 "sf": sf,
                 "cpus": int(cpus),
                 "er_pipeline": er,
