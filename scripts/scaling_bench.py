@@ -47,7 +47,10 @@ bucket = int(sys.argv[9]) if len(sys.argv) > 9 and sys.argv[9] else 0
 extra = {"spark.sql.autoBroadcastJoinThreshold": bcast} if bcast else {}
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
-cores = cores_from_master(master)
+import os
+# standalone masters (spark://...) carry no core count in the URL — the
+# launcher passes the level's total cores explicitly
+cores = int(os.environ.get("BELB_SCALING_CORES") or 0) or cores_from_master(master)
 spark = get_spark("scaling", master=master, shuffle_partitions=3 * cores, extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
 d = pathlib.Path(data_dir)
@@ -94,6 +97,106 @@ def _cpu_jiffies() -> tuple[int, int]:
     return vals[7], sum(vals)
 
 
+def _wait_port(port: int, timeout: float = 45.0) -> bool:
+    import socket
+    import time as _time
+
+    t0 = _time.time()
+    while _time.time() - t0 < timeout:
+        with socket.socket() as s:
+            s.settimeout(1)
+            try:
+                s.connect(("127.0.0.1", port))
+                return True
+            except OSError:
+                _time.sleep(0.5)
+    return False
+
+
+class StandaloneCluster:
+    """Localhost Spark standalone cluster: one Worker JVM per 4-core
+    executor, each taskset-pinned to its own fixed-width CPU slice.
+
+    This is the closest sandbox analog of the north rule's "N executors
+    -> 4N executors": scaling adds MORE IDENTICAL executors (separate
+    heaps, real executor-to-executor shuffle over localhost TCP,
+    per-executor CPU isolation — a worker's executor and its forked
+    python daemons inherit the worker's affinity), instead of widening
+    one shared-heap local[N] JVM whose GC/shuffle structures are shared
+    across all cores. The driver JVM is pinned to its own constant slice
+    at every cluster size, like a cluster's separate driver node.
+    """
+
+    MASTER_PORT = 7077
+
+    def __init__(
+        self,
+        n_workers: int,
+        cores_per: int = 4,
+        worker_mem: str = "9g",
+        cpus_per_slice: int = 6,
+        first_cpu: int = 0,
+    ):
+        self.n_workers = n_workers
+        self.cores_per = cores_per
+        self.worker_mem = worker_mem
+        self.cpus_per_slice = cpus_per_slice
+        self.first_cpu = first_cpu
+        self.procs: list[subprocess.Popen] = []
+        self.master_url = f"spark://127.0.0.1:{self.MASTER_PORT}"
+
+    def __enter__(self):
+        import os
+
+        env = dict(os.environ)
+        env.setdefault("SPARK_NO_DAEMONIZE", "1")
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
+        spark_class = "/opt/spark/bin/spark-class"
+        self.procs.append(
+            subprocess.Popen(
+                [
+                    spark_class, "org.apache.spark.deploy.master.Master",
+                    "--host", "127.0.0.1", "--port", str(self.MASTER_PORT),
+                    "--webui-port", "0",
+                ],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+            )
+        )
+        if not _wait_port(self.MASTER_PORT):
+            self.__exit__(None, None, None)
+            raise RuntimeError("standalone master did not come up")
+        for i in range(self.n_workers):
+            lo = self.first_cpu + i * self.cpus_per_slice
+            hi = lo + self.cpus_per_slice - 1
+            wd = f"/tmp/belb_standalone_w{i}"
+            subprocess.run(["rm", "-rf", wd], check=False)
+            self.procs.append(
+                subprocess.Popen(
+                    [
+                        "taskset", "-c", f"{lo}-{hi}",
+                        spark_class, "org.apache.spark.deploy.worker.Worker",
+                        self.master_url,
+                        "--cores", str(self.cores_per),
+                        "--memory", self.worker_mem,
+                        "--webui-port", "0",
+                        "--work-dir", wd,
+                    ],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL, env=env,
+                )
+            )
+        return self
+
+    def __exit__(self, *exc):
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in reversed(self.procs):
+            try:
+                p.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        self.procs.clear()
+
+
 def run_level(
     master: str,
     data_dir: str,
@@ -107,25 +210,53 @@ def run_level(
     heap: str = "16g",
     bucket: int = 0,
     pin_cpus: int = 0,
+    standalone: bool = False,
 ) -> dict:
+    import os
+
     runner = REPO / "scripts" / "_scaling_runner.py"
     runner.write_text(RUNNER)
     best = None
+    cores_n = int(master.split("[")[1].rstrip("]")) if "[" in master else 0
     for _ in range(repeats):
         load_before = _loadavg()
         steal0, total0 = _cpu_jiffies()
         loads_during: list[float] = []
-        cmd = [
-            "/opt/spark/bin/spark-submit",
-            "--master", master,
-            # the builder's spark.driver.memory is ignored once the JVM is
-            # up — must be a submit-time flag
-            "--driver-memory", heap,
-            "--py-files", str(REPO / "dist" / "belb_spark.zip"),
-            str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
-            str(bucket),
-        ]
-        if pin_cpus:
+        cluster = None
+        env = None
+        if standalone:
+            # N vs 4N EXECUTORS: 1 vs 4 identical 4-core/fixed-heap worker
+            # JVMs, each pinned to its own 6-CPU slice; constant 6-CPU
+            # driver slice (a cluster's separate driver node). `heap` is
+            # the PER-EXECUTOR memory here (constant across levels).
+            cluster = StandaloneCluster(n_workers=cores_n // 4)
+            cluster.__enter__()
+            env = dict(os.environ, BELB_SCALING_CORES=str(cores_n))
+            cmd = [
+                "taskset", "-c", "24-29",
+                "/opt/spark/bin/spark-submit",
+                "--master", cluster.master_url,
+                "--driver-memory", "4g",
+                "--conf", "spark.executor.cores=4",
+                "--conf", f"spark.executor.memory={heap}",
+                "--conf", f"spark.cores.max={cores_n}",
+                "--conf", "spark.ui.enabled=false",
+                "--py-files", str(REPO / "dist" / "belb_spark.zip"),
+                str(runner), cluster.master_url, data_dir, scale, mode,
+                strategy, str(n_part), ckpt_base, bcast, str(bucket),
+            ]
+        else:
+            cmd = [
+                "/opt/spark/bin/spark-submit",
+                "--master", master,
+                # the builder's spark.driver.memory is ignored once the JVM is
+                # up — must be a submit-time flag
+                "--driver-memory", heap,
+                "--py-files", str(REPO / "dist" / "belb_spark.zip"),
+                str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
+                str(bucket),
+            ]
+        if pin_cpus and not standalone:
             # Confine the whole process tree (driver JVM + forked python
             # workers, which inherit affinity) to exactly pin_cpus CPUs.
             # Unpinned, a local[4] run leaks GC / python-worker / daemon
@@ -141,17 +272,21 @@ def run_level(
         import tempfile as _tf
         import time as _time
 
-        with _tf.TemporaryFile("w+") as so, _tf.TemporaryFile("w+") as se:
-            proc = subprocess.Popen(cmd, stdout=so, stderr=se, cwd="/tmp")
-            while proc.poll() is None:
-                _time.sleep(10)
-                loads_during.append(float(_loadavg()))
-            so.seek(0)
-            se.seek(0)
+        try:
+            with _tf.TemporaryFile("w+") as so, _tf.TemporaryFile("w+") as se:
+                proc = subprocess.Popen(cmd, stdout=so, stderr=se, cwd="/tmp", env=env)
+                while proc.poll() is None:
+                    _time.sleep(10)
+                    loads_during.append(float(_loadavg()))
+                so.seek(0)
+                se.seek(0)
 
-            class _Out:
-                stdout = so.read()
-                stderr = se.read()
+                class _Out:
+                    stdout = so.read()
+                    stderr = se.read()
+        finally:
+            if cluster is not None:
+                cluster.__exit__(None, None, None)
 
         out = _Out()
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
@@ -160,6 +295,9 @@ def run_level(
             raise RuntimeError(f"no RESULT from {master}")
         r = json.loads(line[-1][len("RESULT "):])
         r["heap"] = heap
+        if standalone:
+            r["standalone_workers"] = cores_n // 4
+            r["level"] = master
         if pin_cpus:
             r["pinned_cpus"] = pin_cpus
         r["load_before"] = load_before
@@ -568,6 +706,16 @@ def main() -> int:
         "1.5 CPUs/core). Overrides --pin-extra when set.",
     )
     ap.add_argument(
+        "--standalone",
+        action="store_true",
+        help="run each level on a localhost standalone cluster: one 4-core "
+        "worker JVM per 4 cores (N=1 worker, 4N=4 workers), each pinned to "
+        "its own 6-CPU slice, fixed per-executor heap (--heap-per-core x 4), "
+        "constant 6-CPU driver slice — the literal 'N vs 4N executors' "
+        "model: separate heaps, real inter-executor shuffle over localhost, "
+        "per-executor CPU isolation. Overrides --pin-extra/--pin-scale.",
+    )
+    ap.add_argument(
         "--decompose",
         action="store_true",
         help="also run checkpoint_mode='off' at both levels: the wall delta "
@@ -629,20 +777,30 @@ def main() -> int:
         rows = []
         for k in range(args.evidence):
             for cores in (args.n_cores, 4 * args.n_cores):
-                heap = (
-                    f"{max(2, round(args.heap_per_core * cores))}g"
-                    if args.heap_per_core
-                    else "16g"
-                )
-                if args.pin_scale:
-                    pin = round(cores * args.pin_scale)
+                if args.standalone:
+                    # heap is PER-EXECUTOR (4 cores), constant at both levels
+                    heap = (
+                        f"{max(2, round(args.heap_per_core * 4))}g"
+                        if args.heap_per_core
+                        else "8g"
+                    )
+                    pin = 0
                 else:
-                    pin = cores + args.pin_extra if args.pin_extra >= 0 else 0
+                    heap = (
+                        f"{max(2, round(args.heap_per_core * cores))}g"
+                        if args.heap_per_core
+                        else "16g"
+                    )
+                    if args.pin_scale:
+                        pin = round(cores * args.pin_scale)
+                    else:
+                        pin = cores + args.pin_extra if args.pin_extra >= 0 else 0
                 try:
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
                         bucket=args.bucket, pin_cpus=pin,
+                        standalone=args.standalone,
                     )
                 except RuntimeError:
                     # transient co-tenant OOM/kill: one retry keeps the pair
@@ -650,6 +808,7 @@ def main() -> int:
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
                         bucket=args.bucket, pin_cpus=pin,
+                        standalone=args.standalone,
                     )
                 r["pair"] = k
                 f = runs_file(args.scale)
@@ -680,7 +839,9 @@ def main() -> int:
         # bucketed evidence gets its own file: the r4 non-bucketed record
         # stays intact for before/after comparison
         suffix = f"_b{args.bucket}" if args.bucket else ""
-        if args.pin_scale:
+        if args.standalone:
+            suffix += "_sa"
+        elif args.pin_scale:
             suffix += f"_pinx{args.pin_scale:g}"
         elif args.pin_extra >= 0:
             suffix += f"_pin{args.pin_extra}"
@@ -694,6 +855,7 @@ def main() -> int:
                 and prior.get("bucket", 0) == args.bucket
                 and prior.get("pin_extra", -1) == args.pin_extra
                 and prior.get("pin_scale", 0.0) == args.pin_scale
+                and prior.get("standalone", False) == args.standalone
             ):
                 base = len(prior["pairs"])
                 for t in table:
@@ -723,6 +885,7 @@ def main() -> int:
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
             "pin_extra": args.pin_extra, "pin_scale": args.pin_scale,
+            "standalone": args.standalone,
             "pairs": table,
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
@@ -736,16 +899,29 @@ def main() -> int:
 
     if args.one:
         cores_one = int(args.one.split("[")[1].rstrip("]")) if "[" in args.one else 0
+        one_heap = (
+            f"{max(2, round(args.heap_per_core * 4))}g"
+            if args.standalone and args.heap_per_core
+            else "8g"
+            if args.standalone
+            else f"{max(2, round(args.heap_per_core * cores_one))}g"
+            if args.heap_per_core and cores_one
+            else "16g"
+        )
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
             ckpt_base=args.ckpt_base, bcast=args.bcast, bucket=args.bucket,
+            heap=one_heap,
             pin_cpus=(
-                round(cores_one * args.pin_scale)
+                0
+                if args.standalone
+                else round(cores_one * args.pin_scale)
                 if args.pin_scale and cores_one
                 else cores_one + args.pin_extra
                 if args.pin_extra >= 0 and cores_one
                 else 0
             ),
+            standalone=args.standalone,
         )
         f = runs_file(args.scale)
         f.parent.mkdir(exist_ok=True)
