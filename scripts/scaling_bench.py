@@ -97,6 +97,23 @@ def _cpu_jiffies() -> tuple[int, int]:
     return vals[7], sum(vals)
 
 
+def _slice_jiffies(cpus: range) -> tuple[int, int]:
+    """(steal, total) jiffies summed over the given CPUs only. Box-wide
+    steal dilutes per-slice impact by n_host/n_slice (a 6-CPU-pinned N run
+    reading 0.78% box steal can be eating ~4% on ITS cpus while the other
+    26 idle clean) — the clean-pair filter must see the slice the run
+    actually lives on."""
+    steal = total = 0
+    want = {f"cpu{i}" for i in cpus}
+    for line in open("/proc/stat"):
+        p = line.split()
+        if p and p[0] in want:
+            vals = list(map(int, p[1:9]))
+            steal += vals[7]
+            total += sum(vals)
+    return steal, total
+
+
 def _wait_port(port: int, timeout: float = 45.0) -> bool:
     import socket
     import time as _time
@@ -221,6 +238,15 @@ def run_level(
     for _ in range(repeats):
         load_before = _loadavg()
         steal0, total0 = _cpu_jiffies()
+        # the CPU slice this run's COMPUTE is pinned to (standalone: the
+        # worker slices; pinned local: 0..pin-1; unpinned: whole box)
+        if standalone:
+            comp_slice = range(0, (cores_n // 4) * 6)
+        elif pin_cpus:
+            comp_slice = range(0, pin_cpus)
+        else:
+            comp_slice = range(0, 32)
+        ssteal0, stotal0 = _slice_jiffies(comp_slice)
         loads_during: list[float] = []
         cluster = None
         env = None
@@ -306,6 +332,10 @@ def run_level(
         steal1, total1 = _cpu_jiffies()
         r["steal_pct"] = round(
             100 * (steal1 - steal0) / max(1, total1 - total0), 2
+        )
+        ssteal1, stotal1 = _slice_jiffies(comp_slice)
+        r["steal_slice_pct"] = round(
+            100 * (ssteal1 - ssteal0) / max(1, stotal1 - stotal0), 2
         )
         if best is None or r["wall_sec"] < best["wall_sec"]:
             best = r
@@ -833,6 +863,9 @@ def main() -> int:
                 "loads": [n["load_before"], n["load_after"],
                           n4["load_before"], n4["load_after"]],
                 "steal_pct": [n.get("steal_pct"), n4.get("steal_pct")],
+                "steal_slice_pct": [
+                    n.get("steal_slice_pct"), n4.get("steal_slice_pct")
+                ],
             })
         # merge with previously recorded evidence pairs of the same config
         # (long sessions run several batches; the record is cumulative)
@@ -876,11 +909,17 @@ def main() -> int:
         # steal < 1% — an instrument-based (not outcome-based) filter, so
         # it cannot cherry-pick good ratios, only steal-free windows; the
         # full distribution stays published above it
-        clean = [
-            t["eff_pairs_scored"] for t in table
-            if None not in (t.get("steal_pct") or [None])
-            and max(t["steal_pct"]) < 1.0
-        ]
+        def _clean_effs(key):
+            return [
+                t["eff_pairs_scored"] for t in table
+                if None not in (t.get(key) or [None])
+                and max(t[key]) < 1.0
+            ]
+
+        clean = _clean_effs("steal_pct")
+        # per-slice steal is the honest filter where runs are pinned: box
+        # steal under-reads a 6-CPU N slice by up to 32/6
+        clean_slice = _clean_effs("steal_slice_pct")
         summary = {
             "scale": args.scale, "mode": args.mode, "strategy": args.strategy,
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
@@ -892,6 +931,10 @@ def main() -> int:
             "median_eff_e2e": _median([t["eff_e2e"] for t in table]),
             "n_pairs_steal_clean": len(clean),
             "median_eff_steal_clean": _median(clean) if clean else None,
+            "n_pairs_slice_clean": len(clean_slice),
+            "median_eff_slice_clean": (
+                _median(clean_slice) if clean_slice else None
+            ),
         }
         out.write_text(json.dumps(summary, indent=2))
         print(json.dumps(summary, indent=2))
