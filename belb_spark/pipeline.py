@@ -73,6 +73,17 @@ class ERConfig:
     # the pair table at prod scale. Sync checkpoint mode only. Pick n as the
     # stage-04 target parallelism (buckets are static once written).
     bucket_candidates: int = 0
+    # >0: write the 01_normalize checkpoint CLUSTERED BY (h) INTO n BUCKETS.
+    # The scoring stage derives its payload reps from this table with
+    # dropDuplicates(["h"]) followed by two h-keyed joins: bucketed by h,
+    # the distinct needs NO exchange and both payload joins reuse the
+    # bucketing on the reps side — the reps path was the last full shuffle
+    # of fat rows (norm_tokens ~0.5 kB/row) in stage 04, and in multi-
+    # executor deployments it is the stage's dominant inter-executor
+    # transfer (measured r5 standalone: stage-04 clean efficiency 0.63 vs
+    # 0.75 in single-JVM local mode — the delta IS this shuffle). Costs one
+    # exchange at the stage-01 write, identical at every cluster size.
+    bucket_reps: int = 0
 
 
 # bump when a stage's checkpoint schema changes (columns added/removed/
@@ -203,6 +214,7 @@ def _run_pipeline_body(
             "norm_tokens",
             F.unhex(F.md5(F.to_json("norm_tokens"))).alias("h"),
         ),
+        bucket_by=(cfg.bucket_reps, ["h"]) if cfg.bucket_reps else None,
     )
     norm = norm_res.df.withColumn(
         "norm_text", F.array_join("norm_tokens", " ")

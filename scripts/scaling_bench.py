@@ -44,6 +44,7 @@ n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
 bcast = sys.argv[8] if len(sys.argv) > 8 and sys.argv[8] else None
 bucket = int(sys.argv[9]) if len(sys.argv) > 9 and sys.argv[9] else 0
+bucket_reps = int(sys.argv[10]) if len(sys.argv) > 10 and sys.argv[10] else 0
 extra = {"spark.sql.autoBroadcastJoinThreshold": bcast} if bcast else {}
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
@@ -59,7 +60,7 @@ syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
 ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_", dir=ckpt_base)
 cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part,
-               bucket_candidates=bucket)
+               bucket_candidates=bucket, bucket_reps=bucket_reps)
 t0 = time.time()
 res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
 wall = time.time() - t0
@@ -68,7 +69,7 @@ m = res.metrics
 pairs = m["pairs_scored"] + m["exact_dup_edges"]
 print("RESULT " + json.dumps({
     "master": master, "cores": cores, "mode": mode, "strategy": strategy,
-    "bucket": bucket,
+    "bucket": bucket, "bucket_reps": bucket_reps,
     "ckpt_base": ckpt_base or "/tmp",
     "wall_sec": round(wall, 2),
     "rows": m["rows_in"], "pairs": pairs,
@@ -226,6 +227,7 @@ def run_level(
     bcast: str = "",
     heap: str = "16g",
     bucket: int = 0,
+    bucket_reps: int = 0,
     pin_cpus: int = 0,
     standalone: bool = False,
 ) -> dict:
@@ -270,6 +272,7 @@ def run_level(
                 "--py-files", str(REPO / "dist" / "belb_spark.zip"),
                 str(runner), cluster.master_url, data_dir, scale, mode,
                 strategy, str(n_part), ckpt_base, bcast, str(bucket),
+                str(bucket_reps),
             ]
         else:
             cmd = [
@@ -280,7 +283,7 @@ def run_level(
                 "--driver-memory", heap,
                 "--py-files", str(REPO / "dist" / "belb_spark.zip"),
                 str(runner), master, data_dir, scale, mode, strategy, str(n_part), ckpt_base, bcast,
-                str(bucket),
+                str(bucket), str(bucket_reps),
             ]
         if pin_cpus and not standalone:
             # Confine the whole process tree (driver JVM + forked python
@@ -684,6 +687,15 @@ def main() -> int:
         "Fixed across levels — a table's bucket count is static.",
     )
     ap.add_argument(
+        "--bucket-reps",
+        type=int,
+        default=0,
+        help="ERConfig.bucket_reps: write the 01_normalize checkpoint "
+        "CLUSTERED BY (h) so scoring's payload-reps distinct and h-keyed "
+        "joins start co-partitioned (the stage's dominant inter-executor "
+        "transfer in multi-executor deployments). 0 = plain parquet.",
+    )
+    ap.add_argument(
         "--assemble",
         action="store_true",
         help="build BENCH/BASELINE.md + scaling_<scale>.json from the "
@@ -829,16 +841,16 @@ def main() -> int:
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
-                        bucket=args.bucket, pin_cpus=pin,
-                        standalone=args.standalone,
+                        bucket=args.bucket, bucket_reps=args.bucket_reps,
+                        pin_cpus=pin, standalone=args.standalone,
                     )
                 except RuntimeError:
                     # transient co-tenant OOM/kill: one retry keeps the pair
                     r = run_level(
                         f"local[{cores}]", data_dir, args.scale, 1, args.mode,
                         args.strategy, ckpt_base=args.ckpt_base, heap=heap,
-                        bucket=args.bucket, pin_cpus=pin,
-                        standalone=args.standalone,
+                        bucket=args.bucket, bucket_reps=args.bucket_reps,
+                        pin_cpus=pin, standalone=args.standalone,
                     )
                 r["pair"] = k
                 f = runs_file(args.scale)
@@ -872,6 +884,8 @@ def main() -> int:
         # bucketed evidence gets its own file: the r4 non-bucketed record
         # stays intact for before/after comparison
         suffix = f"_b{args.bucket}" if args.bucket else ""
+        if args.bucket_reps:
+            suffix += f"_br{args.bucket_reps}"
         if args.standalone:
             suffix += "_sa"
         elif args.pin_scale:
@@ -889,6 +903,7 @@ def main() -> int:
                 and prior.get("pin_extra", -1) == args.pin_extra
                 and prior.get("pin_scale", 0.0) == args.pin_scale
                 and prior.get("standalone", False) == args.standalone
+                and prior.get("bucket_reps", 0) == args.bucket_reps
             ):
                 base = len(prior["pairs"])
                 for t in table:
@@ -925,6 +940,7 @@ def main() -> int:
             "heap_per_core_gb": args.heap_per_core, "bucket": args.bucket,
             "pin_extra": args.pin_extra, "pin_scale": args.pin_scale,
             "standalone": args.standalone,
+            "bucket_reps": args.bucket_reps,
             "pairs": table,
             "median_eff_pairs_scored": _median(effs),
             "n_pairs_ge_080": sum(e >= 0.8 for e in effs),
@@ -954,7 +970,7 @@ def main() -> int:
         r = run_level(
             args.one, data_dir, args.scale, 1, args.mode, args.strategy,
             ckpt_base=args.ckpt_base, bcast=args.bcast, bucket=args.bucket,
-            heap=one_heap,
+            bucket_reps=args.bucket_reps, heap=one_heap,
             pin_cpus=(
                 0
                 if args.standalone

@@ -204,3 +204,49 @@ def test_bucketed_candidates_agree_and_reregister(spark, tiny_spark):
         assert got2 == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_reps_agree_and_dedup_without_exchange(spark, tiny_spark):
+    """bucket_reps=N writes 01_normalize CLUSTERED BY (h): identical
+    clustering to the plain run, and the scoring stage's payload-reps
+    derivation — dropDuplicates(["h"]) on that table — needs NO exchange
+    (the reps path is stage 04's dominant inter-executor transfer in
+    multi-executor deployments; measured r5 standalone)."""
+    d = tempfile.mkdtemp(prefix="belb_breps_ckpt_")
+    try:
+        res = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            tiny_spark["labeled_pairs"],
+            checkpoint_dir=d,
+            cfg=ERConfig(bucket_candidates=8, bucket_reps=8),
+        )
+        base = run_pipeline(
+            spark,
+            tiny_spark["repos"],
+            tiny_spark["synonym_dict"],
+            tiny_spark["labeled_pairs"],
+        )
+        assert res.metrics["eval"]["all"]["f1"] == base.metrics["eval"]["all"]["f1"]
+        got = sorted((r["uid"], r["cluster"]) for r in res.assignment.collect())
+        want = sorted((r["uid"], r["cluster"]) for r in base.assignment.collect())
+        assert got == want
+
+        from belb_spark.checkpoint import CheckpointStore
+
+        store = CheckpointStore(spark, d)
+        tbl = store._table_name("01_normalize")
+        assert spark.catalog.tableExists(tbl)
+        plan = (
+            spark.table(tbl)
+            .dropDuplicates(["h"])
+            .select("h")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in plan, plan  # reps dedup consumes the scan
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
