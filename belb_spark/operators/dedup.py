@@ -29,16 +29,22 @@ pass ``hot_tier='within_salt'`` to additionally emit all pairs inside each
 ≤rows_per_salt salt bucket (still bounded per reducer — see
 pairs.candidate_pairs_salted).
 
-Lifecycle: by default every operator returns a fully LAZY plan — no persist,
-no checkpoint, nothing to leak, and `.explain` shows the real plan; the
-shingle work is still evaluated ONCE because every consumer reads the same
-explicitly-repartitioned slim (id, shingle) exchange (AQE ReusedExchange —
-see :func:`_exploded_shingles`). Pipelines that iterate over the pair table
-pass ``materialize=True``: the slim exploded table is persisted across the
-sig/verify consumers, the result is eagerly checkpointed (reliable — files
-reclaimed by the context cleaner), and the persist is released before
-returning, so repeated calls still leak no executor storage
-(getPersistentRDDs stays empty — pinned by test).
+Lifecycle (r6): the per-doc DISTINCT-shingle ARRAY table (id, arr) is the
+shared base of every consumer — MinHash signatures are per-row
+``array_min`` transforms (no exploded groupBy), blocking explodes the
+slim (id, key) rows off it, and the Jaccard verify is an
+``array_intersect`` count over the candidate pairs (no exploded
+intersection join). The base takes a lazy ``localCheckpoint``: it is
+computed ONCE on the first action and every branch (sigs, blocks, both
+verify sides) reads the materialized blocks. The r1-r5 alternative — a
+fully lazy plan leaning on exchange reuse across the branches — left SIX
+static copies of the tokenize+shingle pipeline in the plan (static
+broadcast joins wrap branches in BroadcastExchange, outside AQE's
+stage-reuse reach), measured 2-3× the wall of the checkpointed base at
+sf1.0. The checkpoint blocks are reclaimed by the context cleaner when
+the query's RDDs are GC'd (same lifecycle as the reliable checkpoint
+files elsewhere); ``materialize=True`` additionally returns an eagerly
+checkpointed result for pipelines that iterate over the pair table.
 """
 
 from __future__ import annotations
@@ -118,78 +124,57 @@ def bucket_pair_stats(exploded: DataFrame, cfg: PairsConfig) -> DataFrame:
     return pair_stats(blocks, cfg)
 
 
-def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
-    """Slim (id, s) table of per-doc DISTINCT shingles, explicitly
-    repartitioned by id. The repartition is load-bearing: every consumer
-    (minhash sigs, bucket keys, sizes, intersection counts) builds on this
-    exact exchange, so AQE's ReusedExchange evaluates the tokenize+shingle
-    expressions ONCE and all consumers read the shuffled slim rows — the
-    lazy-plan alternative to persisting the shingle-array base (which
-    re-evaluated the shingles per consumer branch: 2-3× the query wall)."""
-    # the explicit isnotnull matches the predicate the downstream inner
-    # joins infer and push into THEIR branch's scan — without it the scan
-    # DataFilters differ, the exchange subtrees stop being canonically
-    # equal, and the reuse silently splits into two evaluations
-    ex = df.filter(F.col(id_col).isNotNull()).select(
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
+    """(id, arr): per-doc DISTINCT-shingle array, materialized once via a
+    lazy localCheckpoint. Every consumer — the per-row MinHash signatures,
+    the blocking explode, and BOTH sides of the Jaccard verify joins —
+    reads the checkpointed blocks instead of re-deriving the tokenize+
+    shingle pipeline per branch (static broadcast joins otherwise copy the
+    subtree outside AQE's stage-reuse reach: 6 evaluations in the r5 plan,
+    measured 2-3× the wall at sf1.0). Blocks are MEMORY_AND_DISK and
+    reclaimed by the context cleaner once the query's RDDs are GC'd."""
+    base = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_col(tokens_col(text_col), width)).alias("s"),
+        shingles_col(tokens_col(text_col), width).alias("arr"),
     )
-    ex = ex.repartition(F.col("id"))
-    # per-doc shingle-set size rides along every row via a window over the
-    # SAME partitioning (no extra exchange, no separate groupBy consumer —
-    # a separate sizes aggregate pruned `s` below the repartition, making
-    # the exchange children diverge and killing the reuse)
-    return ex.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    return base.localCheckpoint(eager=False)
 
 
-def _jaccard_from_exploded(pairs: DataFrame, ex: DataFrame, min_jaccard: float) -> DataFrame:
-    """True shingle-set Jaccard per candidate pair, computed from the slim
-    exploded table by intersection COUNTING — no shingle-array re-join:
-    |A∩B| = matching (id_a, id_b, s) rows, |A∪B| = |A| + |B| − |A∩B|.
-    Exact (raw shingle strings, no hashing) and identical to the DuckDB
-    oracle's set semantics; shingles_col already emits distinct shingles.
-    Candidate pairs always share ≥1 shingle (their bucket), so the inner
-    intersection join loses nothing; a hypothetical 0-intersection pair
-    would be dropped (only observable at min_jaccard == 0)."""
-    joined = (
-        pairs.join(
-            ex.select(F.col("id").alias("id_a"), "s", F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            ex.select(F.col("id").alias("id_b"), "s", F.col("sz").alias("sz_b")),
-            ["id_b", "s"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
-        )
+def _jaccard_from_arrays(pairs: DataFrame, base: DataFrame, min_jaccard: float) -> DataFrame:
+    """True shingle-set Jaccard per candidate pair, computed by joining the
+    (id, arr) base onto both pair sides and counting
+    ``array_intersect`` — |A∩B| over distinct arrays, |A∪B| = |A| + |B| −
+    |A∩B|. Exact (raw shingle strings, no hashing) and identical to the
+    DuckDB oracle's set semantics; shingles_col already emits distinct
+    shingles. The joins move |pairs| rows, not |pairs|·|shingles| exploded
+    rows (the r5 shape's verify shuffle). The ``jaccard > 0`` filter keeps
+    the r5 inner-intersection-join semantics: a 0-intersection candidate
+    (possible only through an xxhash64 bucket collision) is dropped — only
+    observable at min_jaccard == 0."""
+    joined = pairs.join(
+        base.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a"
+    ).join(
+        base.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b"
     )
-    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    jacc = inter / (F.size("arr_a") + F.size("arr_b") - inter)
     return (
         joined.withColumn("jaccard", jacc)
-        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+        .filter((F.col("jaccard") >= F.lit(min_jaccard)) & (F.col("jaccard") > 0))
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 
-def _materialize_release(out: DataFrame, cached: DataFrame) -> DataFrame:
-    """Eagerly materialize the (small) result with a reliable checkpoint,
-    then release the cached shingle base — no persisted RDDs outlive the
-    call (ADVICE r1: persist-without-unpersist leaked executor storage).
-    Only used on the ``materialize=True`` path (long-lived pipelines that
-    reuse the pair table across later stages); one-shot queries skip both
-    the persist and the checkpoint disk round-trip (VERDICT r2 "What's
-    wrong" #1: the unconditional eager checkpoint was 25-35% of the dedup
-    queries' wall)."""
+def _materialize(out: DataFrame) -> DataFrame:
+    """Eagerly materialize the (small) result with a reliable checkpoint —
+    for the ``materialize=True`` path (long-lived pipelines that iterate
+    over the pair table); one-shot queries skip the checkpoint disk
+    round-trip (VERDICT r2 "What's wrong" #1: the unconditional eager
+    checkpoint was 25-35% of the dedup queries' wall)."""
     from belb_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(out.sparkSession)
-    out = out.checkpoint(eager=True)
-    cached.unpersist()
-    return out
+    return out.checkpoint(eager=True)
 
 
 def minhash_lsh_pairs(
@@ -211,44 +196,27 @@ def minhash_lsh_pairs(
     salted (see module docstring); the exhaustive all-pairs semantics hold
     for every bucket at or under the cap.
 
-    ``materialize=True`` persists the shingle base across the band/verify
-    joins and returns an eagerly-checkpointed result (persist released, no
-    executor storage outlives the call) — for pipelines that iterate over
-    the pair table. The default returns the fully lazy plan: the shingle
-    expressions recompute per branch (cheap JVM codegen) and one-shot
-    queries skip the checkpoint disk round-trip entirely.
-
-    .. note:: behavior change in r3 — the default used to be an eager
-       checkpoint. A caller that runs MULTIPLE actions on the lazy result
-       (count, then feed a loop) re-executes the whole shingle/LSH pipeline
-       per action and should pass ``materialize=True``. Feeding
-       :func:`~belb_spark.operators.clustering.connected_components` is safe
-       lazily: CC eagerly checkpoints its input edge set first thing, so the
-       pair plan is evaluated exactly once (the in-repo callers —
-       ``entry()``/``q_cc_clusters`` — rely on that)."""
-    ex = _exploded_shingles(df, id_col, text_col, shingle_width)
-    if materialize:
-        ex = ex.persist()  # reused by the sig agg AND the verify counts
-    # sig[p] = min md5 over the doc's distinct shingles, computed as a
-    # groupBy-min over the already-id-partitioned slim table (no per-row
-    # array transform pass, no extra exchange)
-    sigs = ex.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"sig{p}")
-            for p in range(perms)
-        ]
-    )
+    ``materialize=True`` additionally returns an eagerly-checkpointed
+    result — for pipelines that run multiple actions over the pair table
+    (each action would otherwise re-run the LSH pipeline above the
+    checkpointed shingle base). Feeding
+    :func:`~belb_spark.operators.clustering.connected_components` is safe
+    lazily: CC eagerly checkpoints its input edge set first thing, so the
+    pair plan is evaluated exactly once (the in-repo callers —
+    ``entry()``/``q_cc_clusters`` — rely on that)."""
+    base = _doc_shingles(df, id_col, text_col, shingle_width)
+    # sig[p] = min md5 over the doc's distinct shingles — a per-row
+    # array_min over the checkpointed array: no exploded groupBy, no
+    # shuffle anywhere before the (tiny) band-key table
+    sigs = base.select("id", *md5_minhash_sig(F.col("arr"), perms))
     bands = []
     for b in range(perms // band_size):
         parts = [F.col(f"sig{b * band_size + r}") for r in range(band_size)]
         bands.append(F.concat_ws("_", F.lit(str(b)), *parts))
-    # slim (id, band_key) join + distinct on ids only; jaccard is counted
-    # from the slim exploded table so the shuffles move ~16-byte rows, not
-    # documents or shingle arrays
     exploded = sigs.select("id", F.explode(F.array(*bands)).alias("band_key"))
     pairs = _bucket_pairs(exploded, pairs_cfg, hot_tier)
-    out = _jaccard_from_exploded(pairs, ex, min_jaccard)
-    return _materialize_release(out, ex) if materialize else out
+    out = _jaccard_from_arrays(pairs, base, min_jaccard)
+    return _materialize(out) if materialize else out
 
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -288,12 +256,11 @@ def ngram_jaccard_pairs(
     hot shingles above ``pairs_cfg.full_join_max`` docs are anchor-capped +
     salted instead of emitting O(n²) pairs on one reducer.
     ``materialize`` as in :func:`minhash_lsh_pairs`."""
-    ex = _exploded_shingles(df, id_col, text_col, shingle_width)
-    if materialize:
-        ex = ex.persist()
+    base = _doc_shingles(df, id_col, text_col, shingle_width)
+    ex = base.select("id", F.explode("arr").alias("s"))
     pairs = _bucket_pairs(ex, pairs_cfg, hot_tier)
-    out = _jaccard_from_exploded(pairs, ex, min_jaccard)
-    return _materialize_release(out, ex) if materialize else out
+    out = _jaccard_from_arrays(pairs, base, min_jaccard)
+    return _materialize(out) if materialize else out
 
 
 def synset_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -88,16 +88,22 @@ def test_bucket_pair_stats_reports_drops(spark):
 
 
 def test_dedup_ops_leave_no_persisted_rdds(spark):
-    """materialize=True persists the shingle base internally — it must be
-    released before the call returns. (The default path is fully lazy and
-    never persists anything; also exercised for regression.)"""
+    """The shingle base is a localCheckpoint (r6): its blocks are reclaimed
+    by the context cleaner once the query's RDDs are unreferenced — no
+    storage outlives the queries' lifetime. GC is forced on both sides so
+    the cleaner actually sees the dropped references within the test
+    window (the cleaner is GC-triggered, not time-triggered)."""
+    import gc
+
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     docs = _hot_corpus(spark)
     minhash_lsh_pairs(docs, "doc_id", "text", materialize=True).collect()
     ngram_jaccard_pairs(docs, "doc_id", "text", materialize=True).collect()
     minhash_lsh_pairs(docs, "doc_id", "text").collect()
     ngram_jaccard_pairs(docs, "doc_id", "text").collect()
-    for _ in range(20):  # unpersist is async-ish; allow the cleaner a beat
+    for _ in range(40):  # cleanup is async; nudge both GCs and wait
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         if spark.sparkContext._jsc.getPersistentRDDs().size() <= before:
             break
         time.sleep(0.25)
