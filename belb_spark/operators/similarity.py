@@ -86,6 +86,21 @@ def srp_weights(n_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     ]
 
 
+def srp_bucket_col(
+    vec_col: str = "embedding", n_planes: int = 8, dim: int = 64, table: int = 0
+) -> Column:
+    """long Column: b-bit sign pattern of fixed hyperplane projections —
+    usable inline on any row that carries the vector (no id-join needed)."""
+    v = F.col(vec_col).cast("array<double>")
+    weights = srp_weights(n_planes, dim, table)
+    bucket = None
+    for p, w in enumerate(weights):
+        wcol = F.array(*[F.lit(x) for x in w])
+        bit = F.when(_dot(v, wcol) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
 def srp_lsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -95,15 +110,9 @@ def srp_lsh_buckets(
     table: int = 0,
 ) -> DataFrame:
     """(vec_id, bucket): b-bit sign pattern of fixed hyperplane projections."""
-    v = F.col(vec_col).cast("array<double>")
-    weights = srp_weights(n_planes, dim, table)
-    bucket = None
-    for p, w in enumerate(weights):
-        wcol = F.array(*[F.lit(x) for x in w])
-        bit = F.when(_dot(v, wcol) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), bucket.cast("long").alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        srp_bucket_col(vec_col, n_planes, dim, table).alias("bucket"),
     )
 
 
@@ -139,7 +148,11 @@ def embedding_cosine_pairs(
     # defense as the text-dedup family); buckets ≤ full_join_max keep
     # exhaustive all-pairs semantics. The table id rides the high bits of
     # the (long) block key, so one builder pass covers all tables and the
-    # final distinct dedupes pairs found by several tables.
+    # final distinct dedupes pairs found by several tables. The block table
+    # takes a lazy localCheckpoint (r6): the builder's four branches
+    # otherwise re-evaluate the n_tables × n_planes projection tower per
+    # branch (static broadcasts sit outside AQE stage reuse — measured 2×
+    # the candidate wall at sf1.0).
     per_table = [
         srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col, table=t).select(
             F.col("vec_id").alias("uid"),
@@ -147,17 +160,35 @@ def embedding_cosine_pairs(
         )
         for t in range(n_tables)
     ]
-    blocks = reduce(lambda a, b: a.unionByName(b), per_table)
+    blocks = reduce(lambda a, b: a.unionByName(b), per_table).localCheckpoint(
+        eager=False
+    )
     cand = candidate_pairs_salted(blocks, PairsConfig()).select(
         F.col("uid_a").alias("id_a"), F.col("uid_b").alias("id_b")
     )
+    # per-VECTOR norm, computed once on the 1-row-per-id side and carried
+    # through the join — the r5 shape re-evaluated both norms per PAIR
+    # (2 × |pairs| × dim multiplies for |ids| × dim of information). Same
+    # expression over the same doubles: bit-identical cosine.
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", _norm(F.col("v")))
     cand = cand.join(
-        v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a")), "id_a"
-    ).join(v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b")), "id_b")
-    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+        v.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("v_a"),
+            F.col("nv").alias("nv_a"),
+        ),
+        "id_a",
+    ).join(
+        v.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("v_b"),
+            F.col("nv").alias("nv_b"),
+        ),
+        "id_b",
+    )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (F.col("nv_a") * F.col("nv_b"))
     return (
         cand.withColumn("cosine", F.round(cos, round_digits))
         .filter(F.col("cosine") >= F.lit(min_cosine))
@@ -175,22 +206,28 @@ def srp_ann_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket, then exact
-    cosine re-rank within the bucket (bucket-equi-join, no cross join)."""
-    b_corpus = srp_lsh_buckets(embeddings, n_planes, dim, id_col, vec_col)
-    corpus = embeddings.join(b_corpus, embeddings[id_col] == b_corpus["vec_id"]).select(
-        b_corpus["vec_id"], F.col(vec_col).cast("array<double>").alias("v"), "bucket"
-    )
-    b_q = srp_lsh_buckets(queries, n_planes, dim, id_col, vec_col)
-    q = queries.join(b_q, queries[id_col] == b_q["vec_id"]).select(
-        b_q["vec_id"].alias("query_id"),
+    cosine re-rank within the bucket (bucket-equi-join, no cross join). The
+    bucket is computed INLINE on each side (r6) — the bucket table is a pure
+    per-row function of the vector, so the former id-equi-join of each side
+    with its own bucket table was a self-join of the corpus for zero
+    information."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        srp_bucket_col(vec_col, n_planes, dim).alias("bucket"),
+    ).withColumn("nv", _norm(F.col("v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
+        srp_bucket_col(vec_col, n_planes, dim).alias("qbucket"),
+    ).withColumn("nq", _norm(F.col("qv")))
     joined = corpus.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    # norms ride the per-vector rows (computed once per id, not per joined
+    # candidate row) — same expression over the same doubles, bit-identical
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     w = Window.partitionBy("query_id").orderBy(
         F.round(cos, 3).desc(), F.col("vec_id").asc()
     )
@@ -423,10 +460,17 @@ def ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
 
+    # cell computed INLINE (same expression as ivf_assign): the cell is a
+    # per-row function of the vector, so the former id-equi-join of the
+    # corpus with its own assignment table was a corpus self-join (one
+    # whole extra shuffle + join of the big side) for zero information
+    cv = F.col(vec_col).cast("array<double>")
+    best = F.array_max(_cell_scores(cv, centroids))
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).join(ivf_assign(embeddings, centroids, id_col, vec_col), "vec_id")
+        cv.alias("v"),
+        (-best["n"]).cast("long").alias("cell"),
+    ).withColumn("nv", _norm(F.col("v")))
 
     qv = F.col(vec_col).cast("array<double>")
     scores = F.reverse(F.array_sort(_cell_scores(qv, centroids)))
@@ -435,13 +479,17 @@ def ivf_topk(
         qv.alias("qv"),
         F.slice(scores, 1, n_probe).alias("_p"),
     ).select(
-        "query_id", "qv", F.explode(F.transform("_p", lambda s: -s["n"])).alias("cell")
+        "query_id",
+        "qv",
+        _norm(F.col("qv")).alias("nq"),
+        F.explode(F.transform("_p", lambda s: -s["n"])).alias("cell"),
     )
 
     joined = corpus.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv")))
+    # per-vector norms computed once per id row (not per probed candidate)
+    cos = _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     w = Window.partitionBy("query_id").orderBy(
         F.round(cos, 3).desc(), F.col("vec_id").asc()
     )
