@@ -65,7 +65,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # same single-split workaround as _docs: the testdata embeddings file is
+    # ONE parquet row group, so every scan is one task and the (interpreted
+    # higher-order) dot-product towers downstream run single-core — measured
+    # 2-4x the query wall at sf1.0. At real scale the source has >= cores
+    # splits and this repartition is dropped at the loader.
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # --------------------------------------------------------- spark queries

@@ -90,15 +90,19 @@ def srp_bucket_col(
     vec_col: str = "embedding", n_planes: int = 8, dim: int = 64, table: int = 0
 ) -> Column:
     """long Column: b-bit sign pattern of fixed hyperplane projections —
-    usable inline on any row that carries the vector (no id-join needed)."""
-    v = F.col(vec_col).cast("array<double>")
+    usable inline on any row that carries the vector (no id-join needed).
+    Built as ONE parsed SQL expression: the n_planes × dim literal matrix
+    as a py4j-built tree cost ~0.6 s of driver round-trips per plan build
+    (see :func:`_cell_scores_sql`); the Catalyst tree and arithmetic are
+    identical."""
+    vec_sql = _vec_sql(vec_col)
     weights = srp_weights(n_planes, dim, table)
-    bucket = None
-    for p, w in enumerate(weights):
-        wcol = F.array(*[F.lit(x) for x in w])
-        bit = F.when(_dot(v, wcol) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+    bits = [
+        f"(CASE WHEN {_sql_dot(vec_sql, _sql_darray(w))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(weights)
+    ]
+    return F.expr("cast((" + " + ".join(bits) + ") as bigint)")
 
 
 def srp_lsh_buckets(
@@ -376,7 +380,7 @@ def ivf_centroids_kmeans_distributed(
             # cosine, ties to the lower cell id (numpy argmax semantics)
             cells = []
             for cid, w in enumerate(C):
-                wcol = F.array(*[F.lit(float(x)) for x in w])
+                wcol = F.lit([float(x) for x in w])
                 cells.append(
                     F.named_struct(
                         F.lit("c"), _dot(F.col("v"), wcol),
@@ -404,14 +408,59 @@ def ivf_centroids_kmeans_distributed(
         vn.unpersist()
 
 
+def _sql_darray(w: list[float]) -> str:
+    """SQL text of a double-array literal. repr() emits the shortest
+    round-tripping decimal, which Java's Double.parseDouble maps back to
+    the identical IEEE double — bit-exact across the boundary."""
+    return "array(" + ",".join(f"{float(x)!r}D" for x in w) + ")"
+
+
+def _sql_dot(vec_sql: str, arr_sql: str) -> str:
+    """SQL twin of :func:`_dot` (same fold order — identical doubles)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sql_norm(vec_sql: str) -> str:
+    """SQL twin of :func:`_norm`."""
+    return (
+        f"sqrt(aggregate(transform({vec_sql}, x -> x * x), 0.0D, "
+        "(acc, v) -> acc + v))"
+    )
+
+
+def _vec_sql(vec_col: str) -> str:
+    return f"cast(`{vec_col}` as array<double>)"
+
+
+def _cell_scores_sql(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
+    """SQL text of array<struct<c: cosine-to-centroid (6dp), n:
+    -centroid_id>> — the struct ordering makes array_max/sort pick highest
+    cosine with smaller centroid id as the deterministic tie-break.
+
+    Built as ONE ``F.expr`` string instead of a py4j expression tree: the
+    n_cells × dim literal matrix cost ~1.1 s of py4j round-trips per plan
+    build (profiled — lit() on a list is a per-element call), paid on
+    every bench repeat. Parsing the equivalent SQL text is a single call;
+    the resulting Catalyst tree (and therefore the arithmetic) is
+    identical to the r5 Column-built one."""
+    cells = []
+    for cid, w in centroids:
+        nw = sum(x * x for x in w) ** 0.5
+        cos = f"({_sql_dot(vec_sql, _sql_darray(w))} / ({_sql_norm(vec_sql)} * {nw!r}D))"
+        cells.append(f"named_struct('c', round({cos}, 6), 'n', {-cid})")
+    return "array(" + ",".join(cells) + ")"
+
+
 def _cell_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """array<struct<c: cosine-to-centroid (6dp), n: -centroid_id>> — the
-    struct ordering makes array_max/sort pick highest cosine with smaller
-    centroid id as the deterministic tie-break."""
+    """Column-input variant of :func:`_cell_scores_sql` (kept for callers
+    whose vector is an arbitrary Column expression)."""
     nv = _norm(v)
     cells = []
     for cid, w in centroids:
-        wcol = F.array(*[F.lit(float(x)) for x in w])
+        wcol = F.lit([float(x) for x in w])
         nw = sum(x * x for x in w) ** 0.5
         cos = _dot(v, wcol) / (nv * F.lit(nw))
         cells.append(F.struct(F.round(cos, 6).alias("c"), F.lit(-cid).alias("n")))
@@ -427,8 +476,7 @@ def ivf_assign(
     """(vec_id, cell): each vector lands in the cell of its highest-cosine
     centroid. Pure JVM expressions (the centroid matrix is a literal); at
     scale ``cell`` is the partition/bucket key of the vector table."""
-    v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_cell_scores(v, centroids))
+    best = F.array_max(F.expr(_cell_scores_sql(_vec_sql(vec_col), centroids)))
     return embeddings.select(
         F.col(id_col).alias("vec_id"), (-best["n"]).cast("long").alias("cell")
     )
@@ -463,20 +511,21 @@ def ivf_topk(
     # cell computed INLINE (same expression as ivf_assign): the cell is a
     # per-row function of the vector, so the former id-equi-join of the
     # corpus with its own assignment table was a corpus self-join (one
-    # whole extra shuffle + join of the big side) for zero information
-    cv = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_cell_scores(cv, centroids))
+    # whole extra shuffle + join of the big side) for zero information.
+    # The centroid matrix enters as ONE parsed SQL literal (_cell_scores_sql)
+    # — the py4j-built tree cost ~1.1 s of driver round-trips per plan build.
+    cell_sql = _cell_scores_sql(_vec_sql(vec_col), centroids)
+    best = F.array_max(F.expr(cell_sql))
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        cv.alias("v"),
+        F.col(vec_col).cast("array<double>").alias("v"),
         (-best["n"]).cast("long").alias("cell"),
     ).withColumn("nv", _norm(F.col("v")))
 
-    qv = F.col(vec_col).cast("array<double>")
-    scores = F.reverse(F.array_sort(_cell_scores(qv, centroids)))
+    scores = F.reverse(F.array_sort(F.expr(cell_sql)))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
-        qv.alias("qv"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
         F.slice(scores, 1, n_probe).alias("_p"),
     ).select(
         "query_id",
