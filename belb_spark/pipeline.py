@@ -62,7 +62,7 @@ class ERConfig:
     # 'off': EphemeralStore — no parquet at all (no resume); the wall delta
     #   vs 'sync' measures the checkpoint I/O share for the scaling report.
     checkpoint_mode: str = "sync"
-    # >0: write the 03_candidates checkpoint as a bucketed table
+    # Write the 03_candidates checkpoint as a bucketed table
     # (CLUSTERED BY (h_a, h_b) INTO n BUCKETS) instead of plain parquet.
     # One extra shuffle at the stage-03 write buys the scoring stage a pair
     # scan that already reports HashPartitioning(h_a, h_b): BOTH the payload
@@ -72,8 +72,13 @@ class ERConfig:
     # better N→4N). This is the sandbox twin of Iceberg bucket-partitioning
     # the pair table at prod scale. Sync checkpoint mode only. Pick n as the
     # stage-04 target parallelism (buckets are static once written).
-    bucket_candidates: int = 0
-    # >0: write the 01_normalize checkpoint CLUSTERED BY (h) INTO n BUCKETS.
+    # None (default, r6 — VERDICT r5 #4) = auto: $BELB_ER_BUCKETS (48)
+    # under sync mode — the configuration the r5 scaling evidence is built
+    # on — and 0 (off) under async/off modes, where bucketed writes are
+    # unsupported. An explicit int keeps the r5 behavior (incl. raising
+    # when combined with async).
+    bucket_candidates: int | None = None
+    # Write the 01_normalize checkpoint CLUSTERED BY (h) INTO n BUCKETS.
     # The scoring stage derives its payload reps from this table with
     # dropDuplicates(["h"]) followed by two h-keyed joins: bucketed by h,
     # the distinct needs NO exchange and both payload joins reuse the
@@ -83,7 +88,8 @@ class ERConfig:
     # transfer (measured r5 standalone: stage-04 clean efficiency 0.63 vs
     # 0.75 in single-JVM local mode — the delta IS this shuffle). Costs one
     # exchange at the stage-01 write, identical at every cluster size.
-    bucket_reps: int = 0
+    # None = auto, as for bucket_candidates.
+    bucket_reps: int | None = None
 
 
 # bump when a stage's checkpoint schema changes (columns added/removed/
@@ -108,6 +114,24 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     cfg: ERConfig = ERConfig(),
 ) -> ERResult:
+    # resolve the 'auto' bucket defaults BEFORE the signature so resume
+    # keys on the EFFECTIVE configuration (None -> 48 under sync, 0 under
+    # async/off; see ERConfig)
+    if cfg.bucket_candidates is None or cfg.bucket_reps is None:
+        import os as _os
+
+        auto = (
+            int(_os.environ.get("BELB_ER_BUCKETS", "48"))
+            if cfg.checkpoint_mode == "sync"
+            else 0
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            bucket_candidates=(
+                auto if cfg.bucket_candidates is None else cfg.bucket_candidates
+            ),
+            bucket_reps=auto if cfg.bucket_reps is None else cfg.bucket_reps,
+        )
     # the resume signature covers config, input identity AND the stage
     # schema version: re-running the same checkpoint_dir over changed input
     # (ADVICE r1) or across a stage-schema change (r4: candidates carry
