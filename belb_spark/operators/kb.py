@@ -109,9 +109,13 @@ def apply_identifier_mapping(
     """original id -> dense internal id; unmapped ids pass through as NULL
     internal (belb raises for unknown ids at query time; here they are
     observable). Broadcast join."""
+    # both sides cast to STRING explicitly (ADVICE r5): joining a string
+    # against a numeric column lets Spark coerce through double, which
+    # silently mis-maps identifiers above 2^53 while the DuckDB twin joins
+    # exactly — an exact common type keeps the engines in lockstep
     m = F.broadcast(
         mapping.select(
-            F.col("original_identifier").alias("_orig"),
+            F.col("original_identifier").cast("string").alias("_orig"),
             F.col("internal_identifier").alias("internal_identifier"),
         ).distinct()
     )

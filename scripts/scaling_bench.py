@@ -166,6 +166,18 @@ class StandaloneCluster:
     def __enter__(self):
         import os
 
+        # topology sanity (ADVICE r5): the worker slices and the 6-CPU
+        # driver slice (run_level pins the driver above the workers) must
+        # fit the actual box, or taskset either fails or silently overlaps
+        # the slices the isolation evidence depends on
+        n_cpu = os.cpu_count() or 0
+        need = self.first_cpu + self.n_workers * self.cpus_per_slice + 6
+        if need > n_cpu:
+            raise RuntimeError(
+                f"standalone layout needs {need} CPUs "
+                f"({self.n_workers} workers x {self.cpus_per_slice} + 6 driver"
+                f" from cpu {self.first_cpu}), host has {n_cpu}"
+            )
         env = dict(os.environ)
         env.setdefault("SPARK_NO_DAEMONIZE", "1")
         env.setdefault("PYSPARK_PYTHON", sys.executable)
@@ -257,7 +269,15 @@ def run_level(
             # JVMs, each pinned to its own 6-CPU slice; constant 6-CPU
             # driver slice (a cluster's separate driver node). `heap` is
             # the PER-EXECUTOR memory here (constant across levels).
-            cluster = StandaloneCluster(n_workers=cores_n // 4)
+            # worker registered memory must cover the requested executor
+            # heap (ADVICE r5: a heap > the fixed 9g worker memory meant NO
+            # executor could ever schedule and the submit polled forever) —
+            # derive it as heap + 1g overhead, floor 9g
+            heap_gb = int("".join(ch for ch in heap if ch.isdigit()) or "0")
+            cluster = StandaloneCluster(
+                n_workers=cores_n // 4,
+                worker_mem=f"{max(9, heap_gb + 1)}g",
+            )
             cluster.__enter__()
             env = dict(os.environ, BELB_SCALING_CORES=str(cores_n))
             cmd = [
@@ -771,6 +791,13 @@ def main() -> int:
         "wall comparison",
     )
     args = ap.parse_args()
+
+    # fail fast (ADVICE r5): bucketed checkpoint tables are sync-mode only;
+    # run_async otherwise raises at stage time, AFTER data generation
+    if args.mode != "sync" and (args.bucket or args.bucket_reps):
+        ap.error(
+            f"--bucket/--bucket-reps require --mode sync (got --mode {args.mode})"
+        )
 
     if args.assemble:
         lines = [
