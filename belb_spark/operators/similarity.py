@@ -514,15 +514,15 @@ def ivf_topk(
     # whole extra shuffle + join of the big side) for zero information.
     # The centroid matrix enters as ONE parsed SQL literal (_cell_scores_sql)
     # — the py4j-built tree cost ~1.1 s of driver round-trips per plan build.
-    cell_sql = _cell_scores_sql(_vec_sql(vec_col), centroids)
-    best = F.array_max(F.expr(cell_sql))
+    cells = F.expr(_cell_scores_sql(_vec_sql(vec_col), centroids))  # parsed once
+    best = F.array_max(cells)
     corpus = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
         (-best["n"]).cast("long").alias("cell"),
     ).withColumn("nv", _norm(F.col("v")))
 
-    scores = F.reverse(F.array_sort(F.expr(cell_sql)))
+    scores = F.reverse(F.array_sort(cells))
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
