@@ -151,10 +151,21 @@ def _jaccard_from_arrays(pairs: DataFrame, base: DataFrame, min_jaccard: float) 
     the r5 inner-intersection-join semantics: a 0-intersection candidate
     (possible only through an xxhash64 bucket collision) is dropped — only
     observable at min_jaccard == 0."""
+    # shuffle-hash, not broadcast: Catalyst's estimate broadcasts the fat
+    # (id, arr) side TWICE (two HashedRelation builds of the whole shingle
+    # table — measured +0.9 s at sf1.0); hashing the slim pair table against
+    # a shuffled base is cheaper at every scale, and per-partition build
+    # size is bounded by the shuffle partition count (guide §3.1)
     joined = pairs.join(
-        base.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")), "id_a"
+        base.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a")).hint(
+            "shuffle_hash"
+        ),
+        "id_a",
     ).join(
-        base.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")), "id_b"
+        base.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b")).hint(
+            "shuffle_hash"
+        ),
+        "id_b",
     )
     inter = F.size(F.array_intersect("arr_a", "arr_b"))
     jacc = inter / (F.size("arr_a") + F.size("arr_b") - inter)

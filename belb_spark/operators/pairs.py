@@ -132,10 +132,18 @@ def candidate_pairs(
     # prunes the Window (and re-plans the exchange below it) for the right
     # side only, the two subtrees stop being canonically equal, and the
     # pinned exchange is evaluated twice instead of reused
-    right = ranked.filter(F.col("bn") > 0).select(
-        F.col("block_key"),
-        F.col("uid").alias("uid_b"),
-        *([F.col("h").alias("h_b")] if has_h else []),
+    # merge hint (r6): without it Catalyst may BROADCAST this side, wrapping
+    # it in a BroadcastExchange that re-evaluates the window tower instead
+    # of reading the pinned exchange (see candidate_pairs_salted); a
+    # shuffle-based join keeps both sides on the one materialized exchange
+    right = (
+        ranked.filter(F.col("bn") > 0)
+        .select(
+            F.col("block_key"),
+            F.col("uid").alias("uid_b"),
+            *([F.col("h").alias("h_b")] if has_h else []),
+        )
+        .hint("merge")
     )
     out_cols = ["uid_a", "uid_b"] + (["h_a", "h_b"] if has_h else [])
     pairs = (
@@ -206,10 +214,18 @@ def candidate_pairs_salted(
     ranked = _rank_and_size(blocks).repartition("block_key")
 
     # small blocks: plain within-block self-join, both sides off the reused
-    # exchange, already co-partitioned by block_key
+    # exchange, already co-partitioned by block_key. The merge hint is
+    # load-bearing (r6): Catalyst's size estimate otherwise BROADCASTS the
+    # right side, which wraps it in a BroadcastExchange that re-evaluates
+    # the whole window tower instead of reading the pinned exchange
+    # (static broadcasts sit outside AQE stage reuse — measured 1.6x the
+    # builder wall at sf1.0); a shuffle-based join keeps both sides on the
+    # one materialized exchange and spills gracefully at any scale
     small = ranked.filter(F.col("bn") <= cfg.full_join_max)
     s_left = small.select("block_key", F.col("uid").alias("uid_a"), *h_a)
-    s_right = small.select("block_key", F.col("uid").alias("uid_b"), *h_b)
+    s_right = small.select("block_key", F.col("uid").alias("uid_b"), *h_b).hint(
+        "merge"
+    )
     small_pairs = (
         s_left.join(s_right, "block_key")
         .filter(F.col("uid_a") < F.col("uid_b"))
@@ -232,7 +248,9 @@ def candidate_pairs_salted(
             *h_a,
         )
     )
-    members_p = members.repartition("block_key", "salt")
+    # same merge hint as the small self-join: keep the members side on its
+    # pinned (block_key, salt) exchange instead of a broadcast re-evaluation
+    members_p = members.repartition("block_key", "salt").hint("merge")
     # orient (uid_a < uid_b); when carrying h, swap h alongside the uids
     fwd = F.col("uid_a") < F.col("uid_b")
     oriented = [
