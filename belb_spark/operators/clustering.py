@@ -121,14 +121,15 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
+    reliable_every: int = 4,
 ) -> DataFrame:
     """edges(uid_a, uid_b) [+ nodes(uid)] -> (uid, cluster), cluster=min(uid)
     of the component; singletons (nodes without edges) map to themselves.
 
     Physical-strategy notes, all measured at sf0.1/local[32]:
 
-    - The input edge set takes an eager RELIABLE checkpoint, and so does
-      every large+small round-pair. Both are load-bearing: a round-pair
+    - The input edge set takes an eager checkpoint, and so does every
+      large+small round-pair. Both are load-bearing: a round-pair
       references its input ~6× across the union/groupBy/join branches, so (a) the logical
       plan grows EXPONENTIALLY in rounds without truncation (a persist-only
       chain OOMs the driver on plan bookkeeping at chain diameter ~30), and
@@ -136,23 +137,38 @@ def connected_components(
       that is a trivial RDD scan, while through a cached InMemoryRelation
       the re-evaluations cost ~6× the round itself (measured 22s vs 3.5s
       for round 1). Persist is NOT a substitute for checkpoint here.
+    - Checkpoint DURABILITY is interval-based (r6): rounds take a fast
+      localCheckpoint (no filesystem round-trip — measured 2.4→2.0 s per
+      CC call at sf1.0, and at cluster scale it is a per-round HDFS/S3
+      write avoided), except every ``reliable_every``-th round, which takes
+      a RELIABLE checkpoint so that deep-graph recovery after an executor
+      loss is bounded to ``reliable_every`` rounds of rework (a lost local
+      block fails the job; the operator is deterministic, so the caller
+      simply reruns from the last durable point — the common near-dup
+      graph converges in 1-2 rounds and never writes a durable round at
+      all). ``reliable_every=1`` restores the r5 every-round durability.
     - Convergence is tested STRUCTURALLY (:func:`_is_star_forest`: one cheap
       job per round-pair) instead of fingerprint-comparing consecutive
       checkpoints, which needed an extra idempotent round-pair just to
       observe no change. An already-converged input runs zero rounds.
     """
     ensure_checkpoint_dir(edges.sparkSession)
+
+    def _ckpt(df: DataFrame, round_no: int) -> DataFrame:
+        if reliable_every and (round_no + 1) % reliable_every == 0:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # orient + drop self-loops WITHOUT a distinct: candidate/scored edge
     # tables are already unique pairs, and the rare duplicates a caller's
     # pre-contraction introduces are absorbed by round 1's dedup — the
     # up-front distinct was a full extra shuffle of the biggest edge set
-    e = (
+    e = _ckpt(
         edges.select(
             F.greatest("uid_a", "uid_b").alias("u"),
             F.least("uid_a", "uid_b").alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .checkpoint(eager=True)
+        ).filter(F.col("u") != F.col("v")),
+        0,
     )
 
     converged = False
@@ -176,7 +192,7 @@ def connected_components(
             converged = True
             break
         e = _small_star(_large_star(e))
-        e = _canon(e).checkpoint(eager=True)
+        e = _ckpt(_canon(e), i + 1)
     # an exhausted iteration budget must not fall through silently: labels
     # built from a non-converged edge set can assign one uid to two clusters,
     # surfacing later only as a confusing row-conservation assert (ADVICE r3)
