@@ -104,6 +104,42 @@ def test_candidate_pairs_reuses_pinned_exchange_live(spark, tiny_spark):
     assert s.count("ReusedExchange") >= 1, s
 
 
+def test_dedup_r6_plan_shape(spark, tiny_spark):
+    """r6 dedup rewrite pins: the shingle tower is evaluated ONCE into the
+    checkpointed (id, arr) base — the query plan must reference it as
+    ExistingRDD scans with ZERO inline copies (the r5 plan carried six) —
+    and the verify joins must be shuffle-hash, not broadcasts of the fat
+    array side (a Catalyst estimate change that silently flips them back
+    re-introduces two whole-table HashedRelation builds)."""
+    from belb_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = tiny_spark["repos"].select(
+        F.col("uid").alias("doc_id"), F.col("content").alias("text")
+    )
+    for op in (minhash_lsh_pairs, ngram_jaccard_pairs):
+        s = plan_string(op(docs, "doc_id", "text"))
+        assert "array_distinct(transform" not in s, s[:2000]
+        assert "ExistingRDD" in s
+        assert "ShuffledHashJoin" in s
+        # builder self-joins ride the pinned exchange via the merge hint
+        assert "SortMergeJoin" in s
+
+
+def test_ann_r6_no_self_joins(spark):
+    """r6 similarity pins: bucket/cell are computed inline — srp_ann_topk
+    carries exactly ONE join (corpus x broadcast queries) and ivf_topk
+    exactly one equi-join on cell; an id-equi self-join sneaking back in
+    would re-shuffle the corpus against itself for zero information."""
+    from belb_spark.operators.similarity import ivf_topk, srp_ann_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus, q = emb.filter("vec_id >= 10"), emb.filter("vec_id < 10")
+    s = plan_string(srp_ann_topk(corpus, q, k=3), "simple")
+    assert s.count("Join") == 1, s
+    s = plan_string(ivf_topk(corpus, q, k=3, n_cells=4, n_probe=2), "simple")
+    assert s.count("Join") == 1, s
+
+
 def test_block_keys_has_no_global_distinct(spark, tiny_spark):
     """r4: the exploded key table needs no global dedup (keys are family-
     prefixed and per-row unique) — the plan must carry exactly ONE exchange
