@@ -12,9 +12,10 @@ This generalizes belb's two one-hop merge mechanisms to a true fixpoint:
   component (FIXTURES.md invariant 4).
 
 Scale notes: every round is two shuffles (groupBy u, join back). The input
-and every large+small round-pair take a reliable eager checkpoint —
-load-bearing, both for lineage truncation (the plan otherwise grows
-exponentially in rounds)
+and every large+small round-pair take an eager checkpoint (local by
+default, reliable under ``durable_rounds`` — see
+:func:`connected_components`) — load-bearing, both for lineage truncation
+(the plan otherwise grows exponentially in rounds)
 and because each round-pair re-evaluates its input ~6× across branches,
 which is a trivial RDD scan from a checkpoint but catastrophically slow
 through a cached InMemoryRelation (see :func:`connected_components`
@@ -121,7 +122,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
-    reliable_every: int = 4,
+    durable_rounds: bool = False,
 ) -> DataFrame:
     """edges(uid_a, uid_b) [+ nodes(uid)] -> (uid, cluster), cluster=min(uid)
     of the component; singletons (nodes without edges) map to themselves.
@@ -137,16 +138,21 @@ def connected_components(
       that is a trivial RDD scan, while through a cached InMemoryRelation
       the re-evaluations cost ~6× the round itself (measured 22s vs 3.5s
       for round 1). Persist is NOT a substitute for checkpoint here.
-    - Checkpoint DURABILITY is interval-based (r6): rounds take a fast
-      localCheckpoint (no filesystem round-trip — measured 2.4→2.0 s per
-      CC call at sf1.0, and at cluster scale it is a per-round HDFS/S3
-      write avoided), except every ``reliable_every``-th round, which takes
-      a RELIABLE checkpoint so that deep-graph recovery after an executor
-      loss is bounded to ``reliable_every`` rounds of rework (a lost local
-      block fails the job; the operator is deterministic, so the caller
-      simply reruns from the last durable point — the common near-dup
-      graph converges in 1-2 rounds and never writes a durable round at
-      all). ``reliable_every=1`` restores the r5 every-round durability.
+    - Checkpoint DURABILITY is a caller choice (r6). Default
+      ``durable_rounds=False``: every checkpoint is a localCheckpoint — no
+      filesystem round-trip (measured 2.4→2.0 s per CC call at sf1.0; at
+      cluster scale it removes a per-round HDFS/S3 write). The honest
+      trade-off: a lost local block fails the JOB (lineage is truncated, so
+      nothing can be recomputed), and the caller reruns the whole operator
+      — which is deterministic and, in local mode, exactly the pre-existing
+      failure semantics (any executor loss kills the one JVM anyway).
+      ``durable_rounds=True`` restores the r5 behavior — every round a
+      reliable checkpoint — for long multi-round runs on real clusters
+      where mid-job executor loss must not fail the job. A mixed
+      every-K-rounds scheme was considered and REJECTED: with truncated
+      lineage between rounds, an interval durable write protects only the
+      round immediately after it, so it costs the write without delivering
+      bounded recovery.
     - Convergence is tested STRUCTURALLY (:func:`_is_star_forest`: one cheap
       job per round-pair) instead of fingerprint-comparing consecutive
       checkpoints, which needed an extra idempotent round-pair just to
@@ -154,8 +160,8 @@ def connected_components(
     """
     ensure_checkpoint_dir(edges.sparkSession)
 
-    def _ckpt(df: DataFrame, round_no: int) -> DataFrame:
-        if reliable_every and (round_no + 1) % reliable_every == 0:
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if durable_rounds:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
@@ -167,8 +173,7 @@ def connected_components(
         edges.select(
             F.greatest("uid_a", "uid_b").alias("u"),
             F.least("uid_a", "uid_b").alias("v"),
-        ).filter(F.col("u") != F.col("v")),
-        0,
+        ).filter(F.col("u") != F.col("v"))
     )
 
     converged = False
@@ -192,7 +197,7 @@ def connected_components(
             converged = True
             break
         e = _small_star(_large_star(e))
-        e = _ckpt(_canon(e), i + 1)
+        e = _ckpt(_canon(e))
     # an exhausted iteration budget must not fall through silently: labels
     # built from a non-converged edge set can assign one uid to two clusters,
     # surfacing later only as a confusing row-conservation assert (ADVICE r3)

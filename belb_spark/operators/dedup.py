@@ -218,8 +218,15 @@ def minhash_lsh_pairs(
     base = _doc_shingles(df, id_col, text_col, shingle_width)
     # sig[p] = min md5 over the doc's distinct shingles — a per-row
     # array_min over the checkpointed array: no exploded groupBy, no
-    # shuffle anywhere before the (tiny) band-key table
-    sigs = base.select("id", *md5_minhash_sig(F.col("arr"), perms))
+    # shuffle anywhere before the (tiny) band-key table. Zero-shingle docs
+    # (empty/whitespace text) are excluded up front: their sigs would be
+    # all-NULL and concat_ws would collapse every such doc into the same
+    # degenerate band buckets — guaranteed wasted candidate pairs that the
+    # r5 exploded shape structurally never produced (and the verify would
+    # drop them anyway: jaccard 0/0 is NULL).
+    sigs = base.filter(F.size("arr") > 0).select(
+        "id", *md5_minhash_sig(F.col("arr"), perms)
+    )
     bands = []
     for b in range(perms // band_size):
         parts = [F.col(f"sig{b * band_size + r}") for r in range(band_size)]

@@ -454,19 +454,6 @@ def _cell_scores_sql(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> 
     return "array(" + ",".join(cells) + ")"
 
 
-def _cell_scores(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Column-input variant of :func:`_cell_scores_sql` (kept for callers
-    whose vector is an arbitrary Column expression)."""
-    nv = _norm(v)
-    cells = []
-    for cid, w in centroids:
-        wcol = F.lit([float(x) for x in w])
-        nw = sum(x * x for x in w) ** 0.5
-        cos = _dot(v, wcol) / (nv * F.lit(nw))
-        cells.append(F.struct(F.round(cos, 6).alias("c"), F.lit(-cid).alias("n")))
-    return F.array(*cells)
-
-
 def ivf_assign(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -43,8 +43,12 @@ strategy = sys.argv[5] if len(sys.argv) > 5 else "capped"
 n_part = int(sys.argv[6]) if len(sys.argv) > 6 and sys.argv[6] != "0" else None
 ckpt_base = sys.argv[7] if len(sys.argv) > 7 and sys.argv[7] else None
 bcast = sys.argv[8] if len(sys.argv) > 8 and sys.argv[8] else None
+# -1 = "pipeline auto" (ERConfig None: $BELB_ER_BUCKETS under sync, 0
+# otherwise — the r6 shipped default); 0 = explicitly unbucketed
 bucket = int(sys.argv[9]) if len(sys.argv) > 9 and sys.argv[9] else 0
 bucket_reps = int(sys.argv[10]) if len(sys.argv) > 10 and sys.argv[10] else 0
+bucket_arg = None if bucket < 0 else bucket
+bucket_reps_arg = None if bucket_reps < 0 else bucket_reps
 extra = {"spark.sql.autoBroadcastJoinThreshold": bcast} if bcast else {}
 from belb_spark.session import get_spark, cores_from_master
 from belb_spark.pipeline import ERConfig, run_pipeline
@@ -60,7 +64,7 @@ syn = spark.read.parquet(str(d / "synonym_dict.parquet"))
 lp = spark.read.parquet(str(d / "labeled_pairs.parquet"))
 ckpt = tempfile.mkdtemp(prefix="belb_scaling_ckpt_", dir=ckpt_base)
 cfg = ERConfig(checkpoint_mode=mode, pairs_strategy=strategy, input_partitions=n_part,
-               bucket_candidates=bucket, bucket_reps=bucket_reps)
+               bucket_candidates=bucket_arg, bucket_reps=bucket_reps_arg)
 t0 = time.time()
 res = run_pipeline(spark, repos, syn, lp, checkpoint_dir=ckpt, cfg=cfg)
 wall = time.time() - t0
@@ -166,17 +170,26 @@ class StandaloneCluster:
     def __enter__(self):
         import os
 
-        # topology sanity (ADVICE r5): the worker slices and the 6-CPU
-        # driver slice (run_level pins the driver above the workers) must
-        # fit the actual box, or taskset either fails or silently overlaps
-        # the slices the isolation evidence depends on
+        # topology sanity (ADVICE r5): the worker slices must fit the box
+        # AND must not overlap the driver slice, which run_level pins to
+        # the FIXED range 24-29 (not "above the workers") — otherwise
+        # taskset either fails outright or silently overlaps the slices the
+        # isolation evidence depends on
         n_cpu = os.cpu_count() or 0
-        need = self.first_cpu + self.n_workers * self.cpus_per_slice + 6
-        if need > n_cpu:
+        driver_lo, driver_hi = 24, 29
+        worker_hi = self.first_cpu + self.n_workers * self.cpus_per_slice - 1
+        if worker_hi >= n_cpu or driver_hi >= n_cpu:
             raise RuntimeError(
-                f"standalone layout needs {need} CPUs "
-                f"({self.n_workers} workers x {self.cpus_per_slice} + 6 driver"
-                f" from cpu {self.first_cpu}), host has {n_cpu}"
+                f"standalone layout needs CPUs up to "
+                f"{max(worker_hi, driver_hi)} "
+                f"({self.n_workers} workers x {self.cpus_per_slice} from cpu "
+                f"{self.first_cpu}, driver {driver_lo}-{driver_hi}), "
+                f"host has {n_cpu}"
+            )
+        if self.first_cpu <= driver_hi and worker_hi >= driver_lo:
+            raise RuntimeError(
+                f"worker slices {self.first_cpu}-{worker_hi} overlap the "
+                f"pinned driver slice {driver_lo}-{driver_hi}"
             )
         env = dict(os.environ)
         env.setdefault("SPARK_NO_DAEMONIZE", "1")
@@ -272,8 +285,20 @@ def run_level(
             # worker registered memory must cover the requested executor
             # heap (ADVICE r5: a heap > the fixed 9g worker memory meant NO
             # executor could ever schedule and the submit polled forever) —
-            # derive it as heap + 1g overhead, floor 9g
-            heap_gb = int("".join(ch for ch in heap if ch.isdigit()) or "0")
+            # derive it as heap + 1g overhead, floor 9g. Parse the unit
+            # honestly: '9216m' is 9 GB, not 9216 GB.
+            import math
+            import re as _re
+
+            m = _re.fullmatch(r"(\d+)([gGmM]?)", heap.strip())
+            if not m:
+                raise ValueError(
+                    f"cannot derive standalone worker memory from heap "
+                    f"{heap!r}; use '<int>g' or '<int>m'"
+                )
+            heap_gb = int(m.group(1))
+            if m.group(2).lower() == "m":
+                heap_gb = math.ceil(heap_gb / 1024)
             cluster = StandaloneCluster(
                 n_workers=cores_n // 4,
                 worker_mem=f"{max(9, heap_gb + 1)}g",
@@ -703,8 +728,10 @@ def main() -> int:
         default=0,
         help="ERConfig.bucket_candidates: write the candidates checkpoint "
         "as an N-bucket CLUSTERED BY (h_a, h_b) table so scoring's payload "
-        "distinct and join-back start co-partitioned (0 = plain parquet). "
-        "Fixed across levels — a table's bucket count is static.",
+        "distinct and join-back start co-partitioned. 0 = plain parquet "
+        "(NOTE: the r6 pipeline default is auto-bucketed — pass -1 to "
+        "measure the shipped default). Fixed across levels — a table's "
+        "bucket count is static.",
     )
     ap.add_argument(
         "--bucket-reps",
@@ -713,7 +740,8 @@ def main() -> int:
         help="ERConfig.bucket_reps: write the 01_normalize checkpoint "
         "CLUSTERED BY (h) so scoring's payload-reps distinct and h-keyed "
         "joins start co-partitioned (the stage's dominant inter-executor "
-        "transfer in multi-executor deployments). 0 = plain parquet.",
+        "transfer in multi-executor deployments). 0 = plain parquet; "
+        "-1 = the pipeline's auto default (see --bucket).",
     )
     ap.add_argument(
         "--assemble",
@@ -794,7 +822,7 @@ def main() -> int:
 
     # fail fast (ADVICE r5): bucketed checkpoint tables are sync-mode only;
     # run_async otherwise raises at stage time, AFTER data generation
-    if args.mode != "sync" and (args.bucket or args.bucket_reps):
+    if args.mode != "sync" and (args.bucket > 0 or args.bucket_reps > 0):
         ap.error(
             f"--bucket/--bucket-reps require --mode sync (got --mode {args.mode})"
         )
